@@ -1,0 +1,387 @@
+"""DepthVideo: the shared keyframe store, as functional JAX state.
+
+Rebuild of reference src/depth_video.py:13-385. The reference shares CUDA
+tensors between a tracking and a mapping process guarded by a lock; here a
+single host process owns fixed-shape device arrays updated functionally via
+``.at[]``, which removes every lock/race by construction (SURVEY.md §5/§7).
+
+State layout differences from the reference (TPU-first):
+  * images and feature maps are NHWC;
+  * fmaps/nets/inps are bf16 (the reference uses fp16 shared tensors,
+    depth_video.py:50-52);
+  * ``counter`` and dirty flags are host-side (python int / numpy bool),
+    since they gate host control flow.
+
+The ``ba`` method dispatches DSPO stage 1 (pose+depth Gauss-Newton ==
+◆droid_backends.ba) and stage 2 (depth+scale/shift, geom/ba.py:127-216)
+exactly as depth_video.py:198-298, including the mono_thres edge filtering
+and the fallback to stage 1 when stage 2 has no usable edges.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom import alignment, ba as ba_mod, lie, projective
+from ..ops import depth_filter as df_mod, distance as dist_mod, upsample
+from ..utils.buckets import bucket
+
+
+class DepthVideo:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.ht = ht = cfg["cam"]["H_out"]
+        self.wd = wd = cfg["cam"]["W_out"]
+        self.down_scale = 8
+        self.h8, self.w8 = ht // 8, wd // 8
+        self.buffer = buf = cfg["tracking"]["buffer"]
+        self.BA_type = cfg["tracking"]["backend"]["BA_type"]
+        self.mono_thres = cfg["tracking"]["mono_thres"]
+        self.counter = 0
+
+        f32, u8 = jnp.float32, jnp.uint8
+        self.timestamp = jnp.zeros(buf, f32)
+        self.images = jnp.zeros((buf, ht, wd, 3), u8)
+        self.poses = jnp.tile(lie.ID, (buf, 1))
+        self.disps = jnp.ones((buf, self.h8, self.w8), f32)
+        self.disps_up = jnp.zeros((buf, ht, wd), f32)
+        self.zeros = jnp.zeros((buf, self.h8, self.w8), f32)  # RGB-D slot
+        self.intrinsics = jnp.zeros(4, f32)  # shared, 1/8 resolution
+        self.mono_disps = jnp.zeros((buf, self.h8, self.w8), f32)
+        self.depth_scale = jnp.zeros(buf, f32)
+        self.depth_shift = jnp.zeros(buf, f32)
+        self.valid_depth_mask = jnp.zeros((buf, ht, wd), jnp.bool_)
+        self.valid_depth_mask_small = jnp.zeros((buf, self.h8, self.w8), jnp.bool_)
+        self.fmaps = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
+        self.nets = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
+        self.inps = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
+
+        # host-side bookkeeping (reference: shared bool tensors + mp.Value)
+        self.dirty = np.zeros(buf, bool)
+        self.npc_dirty = np.zeros(buf, bool)
+
+    # ------------------------------------------------------------------
+    # appends / accessors
+    # ------------------------------------------------------------------
+
+    def append(self, timestamp, image, pose=None, disp=None, mono_depth=None,
+               intrinsics=None, fmap=None, net=None, inp=None):
+        """Add a keyframe at the current counter (reference depth_video.py:61-120)."""
+        ix = self.counter
+        self.counter += 1
+        self.timestamp = self.timestamp.at[ix].set(timestamp)
+        self.images = self.images.at[ix].set(image)
+        if pose is not None:
+            self.poses = self.poses.at[ix].set(pose)
+        if disp is not None:
+            self.disps = self.disps.at[ix].set(disp)
+        if mono_depth is not None:
+            # subsample full-res mono depth to 1/8 grid (depth_video.py:80-82)
+            s = self.down_scale
+            md = mono_depth[s // 2 - 1::s, s // 2 - 1::s]
+            self.mono_disps = self.mono_disps.at[ix].set(
+                jnp.where(md > 0, 1.0 / md, 0.0)
+            )
+        if intrinsics is not None:
+            self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
+        if fmap is not None:
+            self.fmaps = self.fmaps.at[ix].set(fmap.astype(jnp.bfloat16))
+        if net is not None:
+            self.nets = self.nets.at[ix].set(net.astype(jnp.bfloat16))
+        if inp is not None:
+            self.inps = self.inps.at[ix].set(inp.astype(jnp.bfloat16))
+
+    def set_pose(self, ix, pose):
+        self.poses = self.poses.at[ix].set(pose)
+
+    def set_disp(self, ix, disp):
+        self.disps = self.disps.at[ix].set(disp)
+
+    def set_dirty(self, start, end):
+        self.dirty[start:end] = True
+        self.npc_dirty[start:end] = True
+
+    def remove_keyframe(self, ix):
+        """Shift all state down over index ix (reference factor_graph.py:174-193
+        rm_keyframe's video part); the caller adjusts edges and counter."""
+        def shift(arr):
+            return arr.at[ix].set(arr[ix + 1])
+
+        for name in ("timestamp", "poses", "disps", "disps_up", "mono_disps",
+                     "depth_scale", "depth_shift", "fmaps", "nets", "inps"):
+            setattr(self, name, shift(getattr(self, name)))
+        self.images = shift(self.images)
+        self.valid_depth_mask = shift(self.valid_depth_mask)
+        self.valid_depth_mask_small = shift(self.valid_depth_mask_small)
+        self.dirty[ix] = self.dirty[ix + 1]
+        self.npc_dirty[ix] = self.npc_dirty[ix + 1]
+
+    # ------------------------------------------------------------------
+    # geometric ops
+    # ------------------------------------------------------------------
+
+    def reproject(self, ii, jj):
+        """Project pixels of frames ii into frames jj (depth_video.py:156-164)."""
+        ii = jnp.asarray(ii, jnp.int32)
+        jj = jnp.asarray(jj, jnp.int32)
+        return projective.projective_transform(
+            self.poses, self.disps, self.intrinsics, ii, jj
+        )
+
+    def distance(self, ii, jj, beta=0.3, bidirectional=True):
+        """Mean induced-flow distance (depth_video.py:166-196)."""
+        ii = jnp.asarray(ii, jnp.int32).reshape(-1)
+        jj = jnp.asarray(jj, jnp.int32).reshape(-1)
+        if bidirectional:
+            d = dist_mod.frame_distance_bidirectional(
+                self.poses, self.disps, self.intrinsics, ii, jj, beta
+            )
+        else:
+            d = dist_mod.frame_distance(
+                self.poses, self.disps, self.intrinsics, ii, jj, beta
+            )
+        return np.asarray(d)
+
+    def distance_matrix(self, beta=0.3):
+        """All-pairs (counter x counter) bidirectional distance matrix."""
+        N = self.counter
+        ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+        d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta)
+        return d.reshape(N, N)
+
+    def upsample(self, ix, mask):
+        """Convex-upsample disparities of frames ix (depth_video.py:140-144).
+
+        mask: (len(ix), h8, w8, 8*8*9) NHWC upmask from GraphAgg.
+        """
+        ix = jnp.asarray(ix, jnp.int32)
+        mask_nchw = jnp.moveaxis(mask, -1, 1)
+        disps_up = upsample.upsample_disp(self.disps[ix], mask_nchw)
+        self.disps_up = self.disps_up.at[ix].set(disps_up)
+
+    def normalize(self):
+        """Rescale mean disparity to 1 (monocular gauge, depth_video.py:146-153)."""
+        t = self.counter
+        mask = (np.arange(self.buffer) < t)
+        m = jnp.asarray(mask)
+        s = jnp.sum(jnp.where(m[:, None, None], self.disps, 0.0)) / (
+            t * self.h8 * self.w8
+        )
+        self.disps = jnp.where(m[:, None, None], self.disps / s, self.disps)
+        self.poses = jnp.where(
+            m[:, None], lie.scale_translation(self.poses, s), self.poses
+        )
+        self.set_dirty(0, t)
+
+    # ------------------------------------------------------------------
+    # BA dispatch (DSPO layer)
+    # ------------------------------------------------------------------
+
+    def ba(self, target, weight, eta, ii, jj, t0=1, t1=None, iters=2,
+           lm=1e-4, ep=0.1, motion_only=False, opt_type="pose_depth"):
+        """DSPO/DBA dispatch (reference depth_video.py:198-298).
+
+        target/weight: (E, h8, w8, 2); eta: (M, h8, w8) damping for
+        unique(ii) frames (sorted); ii/jj: int arrays.
+        """
+        ii = np.asarray(ii)
+        jj = np.asarray(jj)
+        if t1 is None:
+            t1 = int(max(ii.max(), jj.max())) + 1
+
+        if self.BA_type == "DSPO":
+            ok = self._dspo(target, weight, eta, ii, jj, t0, t1, iters, lm,
+                            ep, motion_only, opt_type)
+            if not ok:
+                self._dspo(target, weight, eta, ii, jj, t0, t1, iters, lm,
+                           ep, motion_only, "pose_depth")
+        elif self.BA_type == "DBA":
+            self._dspo(target, weight, eta, ii, jj, t0, t1, iters, lm, ep,
+                       motion_only, "pose_depth")
+        else:
+            raise NotImplementedError(self.BA_type)
+
+    def _eta_buffer(self, eta, ii):
+        """Scatter per-unique-frame eta maps into a full-buffer array."""
+        eta_full = jnp.full(
+            (self.buffer, self.h8, self.w8), 1e-7, jnp.float32
+        )
+        kx = np.unique(ii[ii >= 0])
+        return eta_full.at[jnp.asarray(kx)].set(jnp.asarray(eta))
+
+    def _pad_edges(self, target, weight, ii, jj):
+        E = len(ii)
+        E_pad = bucket(E)
+        pad = E_pad - E
+        ii_p = np.concatenate([ii, -np.ones(pad, np.int64)]).astype(np.int32)
+        jj_p = np.concatenate([jj, -np.ones(pad, np.int64)]).astype(np.int32)
+        if pad:
+            target = jnp.concatenate(
+                [target, jnp.zeros((pad,) + target.shape[1:], target.dtype)], 0
+            )
+            weight = jnp.concatenate(
+                [weight, jnp.zeros((pad,) + weight.shape[1:], weight.dtype)], 0
+            )
+        return target, weight, ii_p, jj_p, E_pad
+
+    def _dspo(self, target, weight, eta, ii, jj, t0, t1, iters, lm, ep,
+              motion_only, opt_type):
+        if opt_type == "pose_depth":
+            eta_full = self._eta_buffer(eta, ii)
+            target, weight, ii_p, jj_p, E_pad = self._pad_edges(
+                target, weight, ii, jj
+            )
+            kbase = int(min(ii.min(), t0))
+            K = bucket(max(t1 - kbase, 1))
+            K = min(K, self.buffer)
+            kbase = min(kbase, self.buffer - K)
+            P = bucket(max(t1 - t0, 1))
+            deg = np.bincount(ii - kbase, minlength=1).max() if len(ii) else 1
+            Dmax = bucket(int(deg))
+            adj, adj_mask = ba_mod.build_adjacency(ii_p, E_pad, kbase, K, Dmax)
+            self.poses, self.disps = ba_mod.ba(
+                self.poses, self.disps, self.intrinsics, target, weight,
+                eta_full, self.zeros, jnp.asarray(ii_p), jnp.asarray(jj_p),
+                jnp.asarray(adj), jnp.asarray(adj_mask), t0, t1, kbase,
+                P_max=P, K_max=K, Dmax=Dmax, iters=iters, lm=lm, ep=ep,
+                motion_only=motion_only,
+            )
+            self.disps = jnp.maximum(self.disps, 1e-5)
+            return True
+
+        elif opt_type == "depth_scale":
+            curr = self.counter
+            if curr <= 0 or len(ii) == 0:
+                return False
+            # refresh low-res multiview validity + per-frame scale/shift init
+            self.update_valid_depth_mask(up=False)
+            mono = self.mono_disps[:curr]
+            est = self.disps[:curr]
+            valid = self.valid_depth_mask_small[:curr].astype(jnp.float32)
+            scale_t, shift_t, error_t = alignment.align_scale_and_shift(
+                mono, est, valid
+            )
+            self.depth_scale = self.depth_scale.at[:curr].set(scale_t)
+            self.depth_shift = self.depth_shift.at[:curr].set(shift_t)
+
+            ii_t, jj_t, target_t, weight_t = ii, jj, target, weight
+            if self.mono_thres:
+                # drop edges touching frames with unreliable mono depth
+                # (reference depth_video.py:242-261)
+                avg_disps = np.asarray(jnp.mean(est, axis=(1, 2)))
+                err = np.asarray(error_t)
+                sc = np.asarray(scale_t)
+                vs = np.asarray(jnp.sum(valid, axis=(1, 2)))
+                bad = (
+                    (err / avg_disps > self.mono_thres)
+                    | ~np.isfinite(err)
+                    | (sc < 0)
+                    | (vs < 0.5 * self.h8 * self.w8)
+                )
+                bad_idx = set(np.where(bad)[0].tolist())
+                keep = np.array(
+                    [i not in bad_idx and j not in bad_idx
+                     for i, j in zip(ii, jj)], bool
+                )
+                if keep.sum() == 0:
+                    return False
+                ii_t, jj_t = ii[keep], jj[keep]
+                target_t = target[jnp.asarray(keep)]
+                weight_t = weight[jnp.asarray(keep)]
+                kx_all = np.unique(ii)
+                kx_keep = np.unique(ii_t)
+                eta = eta[jnp.asarray(np.isin(kx_all, kx_keep))]
+
+            eta_full = self._eta_buffer(eta, ii_t)
+            target_t, weight_t, ii_p, jj_p, E_pad = self._pad_edges(
+                target_t, weight_t, ii_t, jj_t
+            )
+            kbase = int(ii_t.min())
+            K = bucket(max(int(ii_t.max()) + 1 - kbase, 1))
+            K = min(K, self.buffer)
+            kbase = min(kbase, self.buffer - K)
+            self.disps, self.depth_scale, self.depth_shift = (
+                ba_mod.ba_scale_shift(
+                    self.poses, self.disps, self.intrinsics, target_t,
+                    weight_t, eta_full, self.mono_disps, self.depth_scale,
+                    self.depth_shift, self.valid_depth_mask_small,
+                    jnp.asarray(ii_p), jnp.asarray(jj_p), None, kbase,
+                    K_max=K, iters=iters, lm=lm, ep=ep, alpha=0.01,
+                )
+            )
+            self.disps = jnp.maximum(self.disps, 1e-5)
+            return True
+        else:
+            raise NotImplementedError(opt_type)
+
+    # ------------------------------------------------------------------
+    # multiview depth validity (depth_video.py:326-361)
+    # ------------------------------------------------------------------
+
+    def update_valid_depth_mask(self, up=True):
+        if up:
+            dirty_index = np.where(self.dirty)[0]
+            if len(dirty_index) == 0:
+                return
+        else:
+            dirty_index = np.arange(self.counter)
+            if len(dirty_index) == 0:
+                return
+
+        M = bucket(len(dirty_index))
+        pad = M - len(dirty_index)
+        idx = np.concatenate([dirty_index, np.zeros(pad, np.int64)])
+        disps = self.disps_up if up else self.disps
+        intr = self.intrinsics * (self.down_scale if up else 1.0)
+        sel = disps[jnp.asarray(idx)]
+        depths = 1.0 / jnp.maximum(sel, 1e-8)
+        thresh = self.cfg["tracking"]["multiview_filter"]["thresh"] * jnp.mean(
+            depths, axis=(1, 2)
+        )
+        counts = df_mod.depth_filter(
+            self.poses, disps, intr, jnp.asarray(idx), thresh
+        )
+        visible_num = self.cfg["tracking"]["multiview_filter"]["visible_num"]
+        multiview = counts >= visible_num
+        depths_masked = jnp.where(multiview, depths, jnp.nan)
+        med = jnp.nanmedian(
+            depths_masked.reshape(M, -1), axis=1
+        )
+        masks = multiview & (depths < 3 * med[:, None, None])
+        masks = np.asarray(masks)[: len(dirty_index)]
+        t = jnp.asarray(dirty_index)
+        if up:
+            self.valid_depth_mask = self.valid_depth_mask.at[t].set(
+                jnp.asarray(masks)
+            )
+            self.dirty[dirty_index] = False
+        else:
+            self.valid_depth_mask_small = self.valid_depth_mask_small.at[t].set(
+                jnp.asarray(masks)
+            )
+
+    # ------------------------------------------------------------------
+    # export (depth_video.py:313-385)
+    # ------------------------------------------------------------------
+
+    def get_pose_c2w(self, index):
+        """4x4 camera-to-world matrix."""
+        return np.asarray(lie.to_matrix(lie.inv(self.poses[index])))
+
+    def get_depth_and_pose(self, index):
+        est_depth = 1.0 / np.maximum(np.asarray(self.disps_up[index]), 1e-8)
+        mask = np.asarray(self.valid_depth_mask[index])
+        return est_depth, mask, self.get_pose_c2w(index)
+
+    def save_video(self, path):
+        t = self.counter
+        poses = np.stack([self.get_pose_c2w(i) for i in range(t)])
+        depths = 1.0 / np.maximum(np.asarray(self.disps_up[:t]), 1e-8)
+        timestamps = np.asarray(self.timestamp[:t])
+        masks = np.asarray(self.valid_depth_mask[:t])
+        np.savez(
+            path, poses=poses, depths=depths, timestamps=timestamps,
+            valid_depth_masks=masks,
+        )

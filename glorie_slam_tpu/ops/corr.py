@@ -1,0 +1,203 @@
+"""Correlation volumes and windowed bilinear lookup.
+
+TPU-native rebuild of:
+  * CorrBlock — all-pairs correlation pyramid + ◆corr_index_forward lookup
+    (reference src/modules/droid_net/corr.py:25-76 and
+    src/lib/correlation_kernels.cu:20-110).
+  * AltCorrBlock — low-memory on-the-fly correlation for the backend
+    (reference corr.py:97-145, src/lib/altcorr_kernel.cu): here realized by
+    computing the chunk's correlation planes on the MXU immediately before
+    lookup and discarding them, which preserves the reference's memory
+    profile without a bespoke kernel.
+
+Channel layout matches the CUDA kernel so the pretrained corr encoder
+weights apply: per level, the (2r+1)^2 window flattens x-offset-major /
+y-offset-minor, and the 4 pyramid levels are concatenated
+(corr[n][a][b][y][x] = bilinear(volume[n,y,x], x0-r+a, y0-r+b) with
+out-of-window-bound samples contributing zero, correlation_kernels.cu:46-68).
+
+The lookup itself is expressed two ways:
+  * ``lookup_gather`` — 4-corner gather (simple; reference semantics).
+  * ``lookup_separable`` — the bilinear window is separable, so the lookup
+    becomes two small batched matmuls against hat-function weight matrices;
+    everything stays on the MXU with zero gathers. This is the TPU-default.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+RADIUS = 3
+LEVELS = 4
+
+
+def all_pairs_corr(fmap1, fmap2):
+    """All-pairs correlation <f1/4, f2/4> (reference corr.py:67-76).
+
+    fmap1/fmap2: (E, C, ht, wd). Returns (E, ht*wd, ht, wd) in fmap dtype.
+    """
+    E, C, ht, wd = fmap1.shape
+    f1 = fmap1.reshape(E, C, ht * wd) / 4.0
+    f2 = fmap2.reshape(E, C, ht * wd) / 4.0
+    corr = jnp.einsum(
+        "ecp,ecq->epq", f1, f2, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return corr.reshape(E, ht * wd, ht, wd).astype(fmap1.dtype)
+
+
+def avg_pool2x2(x):
+    """2x2 average pooling over the trailing two dims."""
+    *lead, h, w = x.shape
+    x = x.reshape(*lead, h // 2, 2, w // 2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def build_pyramid(corr, num_levels: int = LEVELS):
+    """corr (E, npix, ht, wd) -> list of (E, npix, ht/2^l, wd/2^l)."""
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool2x2(corr)
+        pyramid.append(corr)
+    return pyramid
+
+
+def _hat_weights(pos, size: int, radius: int):
+    """Bilinear 'hat' selection matrix for a separable window lookup.
+
+    pos: (..., ) fractional center coordinates along one axis.
+    Returns (..., size, 2*radius+1): W[c, a] = max(0, 1 - |c - (pos - r + a)|),
+    which realizes bilinear interpolation at pos-r+a with zero weight for
+    out-of-range samples (matching the CUDA within_bounds drop).
+    """
+    rd = 2 * radius + 1
+    c = jnp.arange(size, dtype=pos.dtype)
+    a = jnp.arange(rd, dtype=pos.dtype)
+    # sample positions (..., rd)
+    sample = pos[..., None] - radius + a
+    diff = jnp.abs(c[:, None] - sample[..., None, :])  # (..., size, rd)
+    return jnp.maximum(0.0, 1.0 - diff)
+
+
+def lookup_separable(plane, coords, radius: int = RADIUS):
+    """Windowed bilinear lookup via two batched matmuls (MXU path).
+
+    plane: (E, npix, hl, wl) correlation planes (one pyramid level).
+    coords: (E, npix, 2) fractional [x, y] in level coordinates.
+    Returns (E, npix, rd*rd) with x-offset-major flattening.
+    """
+    E, npix, hl, wl = plane.shape
+    rd = 2 * radius + 1
+    wx = _hat_weights(coords[..., 0], wl, radius)  # (E, npix, wl, rd)
+    wy = _hat_weights(coords[..., 1], hl, radius)  # (E, npix, hl, rd)
+    plane32 = plane.astype(jnp.float32)
+    # contract rows: (E,npix,hl,wl) x (E,npix,hl,rd) -> (E,npix,rd_y,wl)
+    tmp = jnp.einsum(
+        "ephw,ephb->epbw", plane32, wy, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # contract cols: -> (E, npix, rd_y, rd_x)
+    out = jnp.einsum(
+        "epbw,epwa->epab", tmp, wx, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # flatten x-major, y-minor: out[..., a, b] -> channel a*rd+b
+    return out.transpose(0, 1, 3, 2).reshape(E, npix, rd * rd)
+
+
+def lookup_gather(plane, coords, radius: int = RADIUS):
+    """Reference-semantics 4-corner gather lookup (for validation)."""
+    E, npix, hl, wl = plane.shape
+    rd = 2 * radius + 1
+    x0, y0 = coords[..., 0], coords[..., 1]
+    fx, fy = jnp.floor(x0), jnp.floor(y0)
+    dx, dy = x0 - fx, y0 - fy
+    flat = plane.reshape(E, npix, hl * wl).astype(jnp.float32)
+
+    out = jnp.zeros((E, npix, rd, rd), jnp.float32)
+    for a in range(rd):
+        for b in range(rd):
+            acc = jnp.zeros((E, npix), jnp.float32)
+            for ci, wgt in (
+                ((0, 0), (1 - dx) * (1 - dy)),
+                ((1, 0), dx * (1 - dy)),
+                ((0, 1), (1 - dx) * dy),
+                ((1, 1), dx * dy),
+            ):
+                xi = fx.astype(jnp.int32) + a - radius + ci[0]
+                yi = fy.astype(jnp.int32) + b - radius + ci[1]
+                ok = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
+                idx = jnp.clip(yi, 0, hl - 1) * wl + jnp.clip(xi, 0, wl - 1)
+                val = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+                acc = acc + jnp.where(ok, val * wgt, 0.0)
+            out = out.at[:, :, a, b].set(acc)
+    return out.reshape(E, npix, rd * rd)
+
+
+@partial(jax.jit, static_argnames=("radius", "num_levels"))
+def lookup_pyramid(pyramid, coords, radius: int = RADIUS,
+                   num_levels: int = LEVELS):
+    """Full multi-level lookup.
+
+    pyramid: tuple of (E, npix, hl, wl); coords: (E, ht, wd, 2) level-0 [x,y].
+    Returns features (E, ht, wd, num_levels*rd^2) NHWC — levels concatenated
+    in order (reference corr.py:49-53), window flattened x-major/y-minor.
+    """
+    E, ht, wd, _ = coords.shape
+    npix = ht * wd
+    c = coords.reshape(E, npix, 2)
+    outs = []
+    for lvl in range(num_levels):
+        outs.append(lookup_separable(pyramid[lvl], c / (2.0**lvl), radius))
+    feat = jnp.concatenate(outs, axis=-1)  # (E, npix, L*rd^2)
+    return feat.reshape(E, ht, wd, -1)
+
+
+class CorrBlock:
+    """Precomputed all-pairs correlation pyramid (frontend 'volume' impl).
+
+    Functional analogue of reference corr.py:25-65; stores the pyramid as a
+    tuple of arrays so it can live in a host-side edge store and be
+    concatenated / masked like any other per-edge state.
+    """
+
+    def __init__(self, fmap1, fmap2, num_levels: int = LEVELS,
+                 radius: int = RADIUS, store_dtype=jnp.bfloat16):
+        self.num_levels = num_levels
+        self.radius = radius
+        corr = all_pairs_corr(fmap1, fmap2).astype(store_dtype)
+        self.pyramid = tuple(build_pyramid(corr, num_levels))
+
+    def __call__(self, coords):
+        """coords (E, ht, wd, 2) -> (E, ht, wd, L*(2r+1)^2) NHWC."""
+        return lookup_pyramid(
+            self.pyramid, coords, radius=self.radius,
+            num_levels=self.num_levels,
+        )
+
+    def cat(self, other):
+        self.pyramid = tuple(
+            jnp.concatenate([a, b], axis=0)
+            for a, b in zip(self.pyramid, other.pyramid)
+        )
+        return self
+
+    def __getitem__(self, mask_or_index):
+        self.pyramid = tuple(p[mask_or_index] for p in self.pyramid)
+        return self
+
+
+def alt_corr_chunk(fmaps, coords, ii, jj, num_levels: int = LEVELS,
+                   radius: int = RADIUS):
+    """Low-memory correlation for a chunk of edges (backend path).
+
+    fmaps: (N, C, ht, wd) keyframe features; coords (Ec, ht, wd, 2);
+    ii/jj (Ec,). Computes the chunk's correlation pyramid on the fly and
+    looks it up, matching ◆altcorr semantics (reference corr.py:97-145)
+    without persisting any volume.
+    """
+    corr = all_pairs_corr(fmaps[ii], fmaps[jj]).astype(jnp.bfloat16)
+    pyramid = tuple(build_pyramid(corr, num_levels))
+    return lookup_pyramid(pyramid, coords, radius=radius,
+                          num_levels=num_levels)

@@ -1,0 +1,64 @@
+"""Multiview depth-consistency filter.
+
+Equivalent of ◆droid_backends.depth_filter (reference
+src/lib/droid_kernels.cu:661-775 depth_filter_kernel, wrapped by
+depth_video.py:326-361 update_valid_depth_mask): each pixel of frame ix is
+reprojected into 6 neighbor keyframes jx ∈ {ix-3, ix-2, ix-1, ix+3, ix+4,
+ix+5}; the agreement counter increments when the projected depth matches ANY
+of the 4 bilinear-corner depths within a per-frame threshold.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..geom import lie, projective
+
+# neighbor offsets from droid_kernels.cu:695
+# jx = (neigh_id < 3) ? ix - neigh_id - 1 : ix + neigh_id
+_NEIGH_OFFSETS = (-1, -2, -3, 3, 4, 5)
+
+
+@jax.jit
+def depth_filter(poses, disps, intrinsics, inds, thresh):
+    """Count multiview agreements per pixel.
+
+    poses: (N, 7); disps: (N, ht, wd); intrinsics: (4,);
+    inds: (M,) frame indices to check; thresh: (M,) per-frame thresholds.
+    Returns counts (M, ht, wd).
+    """
+    N, ht, wd = disps.shape
+    fx, fy, cx, cy = intrinsics
+
+    def one_neighbor(ix, off, t):
+        jx = ix + off
+        in_range = (jx >= 0) & (jx < N)
+        jx_safe = jnp.clip(jx, 0, N - 1)
+
+        Gij = lie.rel(poses[ix], poses[jx_safe])[None, None, :]
+        X0 = projective.iproj(disps[ix][None], intrinsics)[0]  # (ht, wd, 4)
+        Xj = lie.act(Gij, X0)
+        z = Xj[..., 2]
+        uj = fx * Xj[..., 0] / z + cx
+        vj = fy * Xj[..., 1] / z + cy
+        dj = Xj[..., 3] / z          # projected disparity in frame j
+
+        u0 = jnp.floor(uj).astype(jnp.int32)
+        v0 = jnp.floor(vj).astype(jnp.int32)
+        inb = (u0 >= 0) & (v0 >= 0) & (u0 < wd - 1) & (v0 < ht - 1)
+        u0c = jnp.clip(u0, 0, wd - 2)
+        v0c = jnp.clip(v0, 0, ht - 2)
+
+        dmap = disps[jx_safe]
+        inv_dj = 1.0 / dj
+        agree = jnp.zeros((ht, wd), jnp.bool_)
+        for dv in (0, 1):
+            for du in (0, 1):
+                dcorner = dmap[v0c + dv, u0c + du]
+                agree = agree | (jnp.abs(inv_dj - 1.0 / dcorner) < t)
+        return jnp.where(inb & in_range, agree, False).astype(disps.dtype)
+
+    def per_frame(ix, t):
+        counts = [one_neighbor(ix, off, t) for off in _NEIGH_OFFSETS]
+        return jnp.sum(jnp.stack(counts, 0), axis=0)
+
+    return jax.vmap(per_frame)(inds, thresh)

@@ -1,0 +1,186 @@
+"""Tests for correlation lookup, convex upsampling, frame distance, depth filter."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glorie_slam_tpu.geom import lie, projective
+from glorie_slam_tpu.ops import corr, depth_filter, distance, upsample
+
+
+def test_all_pairs_corr_matches_naive():
+    rng = np.random.default_rng(0)
+    E, C, ht, wd = 2, 8, 4, 6
+    f1 = jnp.asarray(rng.normal(size=(E, C, ht, wd)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(E, C, ht, wd)), jnp.float32)
+    vol = corr.all_pairs_corr(f1, f2)
+    naive = np.einsum(
+        "ecij,eckl->eijkl", np.asarray(f1) / 4, np.asarray(f2) / 4
+    ).reshape(E, ht * wd, ht, wd)
+    np.testing.assert_allclose(np.asarray(vol), naive, atol=1e-4)
+
+
+def test_lookup_separable_matches_gather():
+    rng = np.random.default_rng(1)
+    E, npix, hl, wl = 3, 20, 8, 10
+    plane = jnp.asarray(rng.normal(size=(E, npix, hl, wl)), jnp.float32)
+    # coords including near-boundary and out-of-bounds positions
+    coords = jnp.asarray(
+        np.stack(
+            [rng.uniform(-2, wl + 1, (E, npix)), rng.uniform(-2, hl + 1, (E, npix))],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    a = corr.lookup_separable(plane, coords, radius=3)
+    b = corr.lookup_gather(plane, coords, radius=3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_lookup_center_exact_integer():
+    """At integer coords the center window element equals the plane value."""
+    rng = np.random.default_rng(2)
+    E, hl, wl = 1, 8, 8
+    plane_np = rng.normal(size=(E, 4, hl, wl)).astype(np.float32)
+    plane = jnp.asarray(plane_np)
+    coords = jnp.asarray([[[3.0, 2.0], [5.0, 6.0], [0.0, 0.0], [7.0, 7.0]]])
+    out = corr.lookup_separable(plane, coords, radius=3)  # (1, 4, 49)
+    rd = 7
+    center = rd * 3 + 3  # x-major flattening, center (a=3, b=3)
+    for p, (x, y) in enumerate([(3, 2), (5, 6), (0, 0), (7, 7)]):
+        assert np.isclose(float(out[0, p, center]), plane_np[0, p, y, x], atol=1e-5)
+
+
+def test_lookup_pyramid_shapes():
+    rng = np.random.default_rng(3)
+    E, C, ht, wd = 2, 16, 16, 16
+    f1 = jnp.asarray(rng.normal(size=(E, C, ht, wd)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(E, C, ht, wd)), jnp.float32)
+    block = corr.CorrBlock(f1, f2)
+    coords = projective.coords_grid(ht, wd)[None].repeat(E, axis=0)
+    out = block(coords)
+    assert out.shape == (E, ht, wd, 4 * 49)
+    # level-0 center channel at the grid equals the self-correlation diagonal
+    vol = np.asarray(corr.all_pairs_corr(f1, f2), np.float32).reshape(
+        E, ht * wd, ht * wd
+    )
+    diag = vol[:, np.arange(ht * wd), np.arange(ht * wd)].reshape(E, ht, wd)
+    center = 7 * 3 + 3
+    np.testing.assert_allclose(
+        np.asarray(out[..., center]), diag, atol=2e-2, rtol=1e-2
+    )
+
+
+def test_alt_corr_matches_corr_block():
+    rng = np.random.default_rng(4)
+    N, C, ht, wd = 5, 16, 16, 16
+    fmaps = jnp.asarray(rng.normal(size=(N, C, ht, wd)), jnp.float32)
+    ii = jnp.array([0, 2])
+    jj = jnp.array([1, 3])
+    coords = jnp.asarray(
+        rng.uniform(2, 12, (2, ht, wd, 2)), jnp.float32
+    )
+    block = corr.CorrBlock(fmaps[ii], fmaps[jj], store_dtype=jnp.float32)
+    a = block(coords)
+    b = corr.alt_corr_chunk(fmaps, coords, ii, jj)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+def test_cvx_upsample_constant_field():
+    """A constant field upsamples to the same constant (convex combination)."""
+    rng = np.random.default_rng(5)
+    B, ht, wd = 1, 4, 5
+    data = jnp.full((B, ht, wd, 1), 2.5)
+    mask = jnp.asarray(rng.normal(size=(B, 8 * 8 * 9, ht, wd)), jnp.float32)
+    up = upsample.cvx_upsample(data, mask)
+    assert up.shape == (B, 8 * ht, 8 * wd, 1)
+    # interior blocks are convex combos of the constant = the constant;
+    # border blocks touch zero padding so only check the interior
+    interior = np.asarray(up[:, 8:-8, 8:-8])
+    np.testing.assert_allclose(interior, 2.5, atol=1e-5)
+
+
+def test_cvx_upsample_uniform_mask_is_blur():
+    B, ht, wd = 1, 6, 6
+    rng = np.random.default_rng(6)
+    data_np = rng.normal(size=(B, ht, wd, 1)).astype(np.float32)
+    data = jnp.asarray(data_np)
+    mask = jnp.zeros((B, 8 * 8 * 9, ht, wd))  # uniform softmax -> mean of 3x3
+    up = upsample.cvx_upsample(data, mask)
+    padded = np.pad(data_np[0, ..., 0], 1)
+    mean9 = sum(
+        padded[dy:dy + ht, dx:dx + wd] for dy in range(3) for dx in range(3)
+    ) / 9.0
+    # every subpixel of block (i,j) equals the 3x3 mean at (i,j)
+    np.testing.assert_allclose(np.asarray(up[0, ::8, ::8, 0]), mean9, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(up[0, 7::8, 7::8, 0]), mean9, atol=1e-5)
+
+
+def _small_scene():
+    rng = np.random.default_rng(7)
+    N, ht, wd = 8, 10, 12
+    xi = np.cumsum(rng.normal(size=(N, 6)) * np.array([0.1] * 3 + [0.03] * 3), 0)
+    poses = lie.exp(jnp.asarray(xi, jnp.float32))
+    disps = jnp.asarray(0.8 + 0.4 * rng.random((N, ht, wd)), jnp.float32)
+    intr = jnp.asarray([10.0, 10.0, wd / 2 - 0.5, ht / 2 - 0.5], jnp.float32)
+    return poses, disps, intr
+
+
+def test_frame_distance_zero_for_identical():
+    poses, disps, intr = _small_scene()
+    poses = poses.at[1].set(poses[0])
+    d = distance.frame_distance(poses, disps, intr, jnp.array([0]), jnp.array([1]))
+    assert float(d[0]) < 1e-3
+
+
+def test_frame_distance_monotone_with_motion():
+    poses, disps, intr = _small_scene()
+    ii = jnp.array([0, 0, 0])
+    jj = jnp.array([1, 2, 3])
+    d = np.asarray(
+        distance.frame_distance_bidirectional(poses, disps, intr, ii, jj, beta=0.5)
+    )
+    valid = d[d < 900]
+    assert np.all(np.diff(valid) > 0)  # farther frames = larger distance
+
+
+def test_frame_distance_invalid_returns_1000():
+    poses, disps, intr = _small_scene()
+    # a huge motion pushes everything out of view / behind the camera
+    far = lie.exp(jnp.asarray([[50.0, 0, 0, 0, 2.5, 0]], jnp.float32))[0]
+    poses = poses.at[1].set(far)
+    d = distance.frame_distance(poses, disps, intr, jnp.array([0]), jnp.array([1]))
+    assert float(d[0]) == 1000.0
+
+
+def test_depth_filter_consistent_scene():
+    """Consistent depths from a static scene are confirmed by neighbors."""
+    rng = np.random.default_rng(8)
+    N, ht, wd = 8, 12, 16
+    intr = jnp.asarray([12.0, 12.0, wd / 2 - 0.5, ht / 2 - 0.5], jnp.float32)
+    # gentle camera track over a smooth surface, consistent depths
+    xi = np.cumsum(rng.normal(size=(N, 6)) * 0.01, 0)
+    poses = lie.exp(jnp.asarray(xi, jnp.float32))
+    # depths consistent across frames: render a plane z = 2 in world coords
+    # crude: use constant disparity (approximately consistent for tiny motion)
+    disps = jnp.full((N, ht, wd), 0.5)
+    inds = jnp.arange(N)
+    thresh = jnp.full((N,), 0.5)
+    counts = depth_filter.depth_filter(poses, disps, intr, inds, thresh)
+    # middle frames have 6 neighbors, most pixels should agree with >= 2
+    mid = np.asarray(counts[3:5])
+    assert (mid >= 2).mean() > 0.8
+
+
+def test_depth_filter_outlier_rejected():
+    rng = np.random.default_rng(9)
+    N, ht, wd = 8, 12, 16
+    intr = jnp.asarray([12.0, 12.0, wd / 2 - 0.5, ht / 2 - 0.5], jnp.float32)
+    poses = lie.exp(jnp.asarray(np.cumsum(rng.normal(size=(N, 6)) * 0.01, 0), jnp.float32))
+    disps = jnp.full((N, ht, wd), 0.5)
+    # frame 3's depths are wildly wrong
+    disps = disps.at[3].set(5.0)
+    counts = depth_filter.depth_filter(
+        poses, disps, intr, jnp.arange(N), jnp.full((N,), 0.05)
+    )
+    assert float(np.asarray(counts[3]).mean()) < 0.5
