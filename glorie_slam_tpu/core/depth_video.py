@@ -263,6 +263,13 @@ class DepthVideo:
             scale_t, shift_t, error_t = alignment.align_scale_and_shift(
                 mono, est, valid
             )
+            # guard degenerate alignments (no valid pixels -> det=0 -> nan);
+            # the reference leaves these NaN unless mono_thres filtering is
+            # on (depth_video.py:242-261) — neutral (1, 0) keeps the solver
+            # finite with identical behavior wherever priors exist
+            ok = jnp.isfinite(scale_t) & jnp.isfinite(shift_t)
+            scale_t = jnp.where(ok, scale_t, 1.0)
+            shift_t = jnp.where(ok, shift_t, 0.0)
             self.depth_scale = self.depth_scale.at[:curr].set(scale_t)
             self.depth_shift = self.depth_shift.at[:curr].set(shift_t)
 

@@ -19,7 +19,7 @@ from ..ops import corr as corr_mod
 from ..utils.buckets import bucket
 
 
-@partial(jax.jit, static_argnames=("num_frames",))
+@partial(jax.jit, static_argnames=("update_apply", "num_frames"))
 def _graph_update_step(update_apply, params, poses, disps, intrinsics,
                        pyramid, net, inp, target, ii, jj, kk, edge_mask,
                        coords0, num_frames: int):
@@ -300,9 +300,18 @@ class FactorGraph:
         """
         v = self.video
         for step in range(steps):
+            E = len(self.ii)
+            E_pad = bucket(E)
+            ii_r = np.concatenate(
+                [self.ii, np.zeros(E_pad - E, np.int64)]
+            ).astype(np.int32)
+            jj_r = np.concatenate(
+                [self.jj, np.zeros(E_pad - E, np.int64)]
+            ).astype(np.int32)
             coords1_all, _ = v.reproject(
-                jnp.asarray(self.ii, jnp.int32), jnp.asarray(self.jj, jnp.int32)
+                jnp.asarray(ii_r), jnp.asarray(jj_r)
             )
+            coords1_all = coords1_all[:E]
             motn_all = jnp.concatenate(
                 [coords1_all - self.coords0[None],
                  self.target - coords1_all], axis=-1
@@ -498,7 +507,7 @@ class FactorGraph:
         return len(self.ii)
 
 
-@partial(jax.jit, static_argnames=("num_frames",))
+@partial(jax.jit, static_argnames=("update_apply", "num_frames"))
 def _lowmem_chunk_step(update_apply, params, fmaps, net, inp, coords1, motn,
                        ii, jj, kk, edge_mask, num_frames: int):
     """AltCorr chunk: compute chunk correlation on the fly + GRU update

@@ -257,16 +257,17 @@ def adjT(pose, X):
     """Dual adjoint action on row covectors, Ad_G^T X.
 
     X = [Xv(3), Xw(3)] (translation part, rotation part). Matches reference
-    droid_kernels.cu:80-94 (adjSE3):
-      Y_v = R^T Xv ;  Y_w = R^T Xw + R^T (t x Xv).
-    Used to map a pose-j Jacobian into a pose-i Jacobian:
+    droid_kernels.cu:80-94 (adjSE3, whose ``u`` is Xv x t = -(t x Xv)):
+      Y_v = R^T Xv ;  Y_w = R^T (Xw - t x Xv).
+    This is Ad_G^T for Ad_G = [[R, [t]x R], [0, R]] (left-perturbation
+    convention). Used to map a pose-j Jacobian into a pose-i Jacobian:
     Ji = -adjT(G_ij, Jj) (reference projective_ops.py:117-118).
     """
     t, q = pose[..., :3], pose[..., 3:7]
     qi = quat_inv(q)
     Xv, Xw = X[..., :3], X[..., 3:6]
     Yv = quat_rotate(qi, Xv)
-    Yw = quat_rotate(qi, Xw) + quat_rotate(qi, jnp.cross(t, Xv))
+    Yw = quat_rotate(qi, Xw - jnp.cross(t, Xv))
     return jnp.concatenate([Yv, Yw], axis=-1)
 
 

@@ -48,9 +48,12 @@ def all_pairs_corr(fmap1, fmap2):
 
 
 def avg_pool2x2(x):
-    """2x2 average pooling over the trailing two dims."""
+    """2x2 average pooling over the trailing two dims (odd trailing
+    rows/cols are dropped, matching torch.nn.functional.avg_pool2d)."""
     *lead, h, w = x.shape
-    x = x.reshape(*lead, h // 2, 2, w // 2, 2)
+    h2, w2 = h // 2, w // 2
+    x = x[..., : h2 * 2, : w2 * 2]
+    x = x.reshape(*lead, h2, 2, w2, 2)
     return x.mean(axis=(-3, -1))
 
 
@@ -97,13 +100,13 @@ def lookup_separable(plane, coords, radius: int = RADIUS):
         "ephw,ephb->epbw", plane32, wy, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    # contract cols: -> (E, npix, rd_y, rd_x)
+    # contract cols: -> (E, npix, rd_x, rd_y) == [a, b] x-major already
     out = jnp.einsum(
         "epbw,epwa->epab", tmp, wx, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     # flatten x-major, y-minor: out[..., a, b] -> channel a*rd+b
-    return out.transpose(0, 1, 3, 2).reshape(E, npix, rd * rd)
+    return out.reshape(E, npix, rd * rd)
 
 
 def lookup_gather(plane, coords, radius: int = RADIUS):

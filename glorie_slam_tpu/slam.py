@@ -1,0 +1,167 @@
+"""SLAM orchestrator: wires tracker, backend, mapper and evaluation.
+
+Rebuild of reference src/slam.py:20-208. The reference spawns tracking and
+mapping as separate CUDA processes synchronized by a pipe + shared memory;
+here both run in one host process with the tracker invoking the mapper
+synchronously at each keyframe handshake (identical ordering semantics, no
+races — SURVEY.md §5/§7).
+"""
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .core.depth_video import DepthVideo
+from .nets.tracker_net import TrackerNet
+from .tracking.backend import Backend
+from .tracking.tracker import Tracker
+from .tracking.trajectory_filler import PoseTrajectoryFiller
+from .utils.eval_traj import full_traj_eval, kf_traj_eval
+from .utils.printer import Printer
+
+
+def update_cam(cfg):
+    """Output camera intrinsics after resize/crop (reference common.py:377-398)."""
+    cam = cfg["cam"]
+    H, W = cam["H"], cam["W"]
+    fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+    h_edge, w_edge = cam["H_edge"], cam["W_edge"]
+    H_out, W_out = cam["H_out"], cam["W_out"]
+    fx = fx * (W_out + w_edge * 2) / W
+    fy = fy * (H_out + h_edge * 2) / H
+    cx = cx * (W_out + w_edge * 2) / W - w_edge
+    cy = cy * (H_out + h_edge * 2) / H - h_edge
+    return H_out, W_out, fx, fy, cx, cy
+
+
+class SLAM:
+    def __init__(self, cfg, stream):
+        self.cfg = cfg
+        self.verbose = cfg.get("verbose", True)
+        self.only_tracking = cfg.get("only_tracking", False)
+        self.stream = stream
+        self.logger = None  # wandb-compatible logger, optional
+
+        self.output = (
+            f"{cfg['data']['output']}/{cfg['setting']}/{cfg['scene']}"
+        )
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(f"{self.output}/logs/", exist_ok=True)
+
+        self.H, self.W, self.fx, self.fy, self.cx, self.cy = update_cam(cfg)
+        self.printer = Printer(len(stream), cfg.get("silence", False))
+
+        ckpt = cfg["tracking"].get("pretrained")
+        if ckpt and os.path.exists(ckpt):
+            self.tracker_net = TrackerNet.from_checkpoint(ckpt)
+            self.printer.print(f"Loaded droid checkpoint from {ckpt}",
+                               subsystem="info")
+        else:
+            self.tracker_net = TrackerNet()
+            self.printer.print(
+                "WARNING: no droid checkpoint found — using random weights",
+                subsystem="error",
+            )
+
+        self.video = DepthVideo(cfg)
+        self.backend = Backend(self.tracker_net, self.video, cfg)
+        self.traj_filler = PoseTrajectoryFiller(
+            self.tracker_net, self.video, self.printer
+        )
+        self.mapper = None
+        if not self.only_tracking:
+            try:
+                from .mapping.mapper import Mapper
+
+                self.mapper = Mapper(self, cfg)
+            except ImportError:
+                self.printer.print(
+                    "Mapper unavailable; running tracking only",
+                    subsystem="error",
+                )
+                self.only_tracking = True
+
+        self.tracker = Tracker(
+            self.tracker_net, self.video, cfg, printer=self.printer,
+            mono_predictor=self._make_mono_predictor(cfg),
+            on_keyframe=(self.mapper.on_keyframe if self.mapper else None),
+        )
+
+    def _make_mono_predictor(self, cfg):
+        """Mono-depth prior source: online DPT or precomputed .npy cache
+        (reference motion_filter.py:62-73, mono_estimators.py:6-58)."""
+        mp_cfg = cfg.get("mono_prior", {})
+        if not mp_cfg:
+            return None
+        if mp_cfg.get("predict_online", False):
+            try:
+                from .mapping.mono_prior import MonoDepthEstimator
+
+                est = MonoDepthEstimator(cfg)
+                return est.predict_and_cache
+            except ImportError:
+                self.printer.print(
+                    "Online mono prior unavailable; trying cached .npy",
+                    subsystem="error",
+                )
+        from .utils.datasets import load_mono_depth
+
+        def load(tstamp, image):
+            try:
+                return load_mono_depth(tstamp, cfg)
+            except FileNotFoundError:
+                return None
+
+        return load
+
+    def run(self):
+        """Track the stream then terminate (reference slam.py:189-208)."""
+        self.tracker.run(self.stream)
+        self.terminate()
+
+    def final_ba(self):
+        """Final global BA: 7 then 12 steps (reference slam.py:119-126)."""
+        self.printer.print("Final Global BA Triggered!", subsystem="tracker")
+        self.backend.dense_ba(7)
+        self.backend.dense_ba(12)
+        self.printer.print("Final Global BA Done!", subsystem="tracker")
+
+    def terminate(self):
+        """Final BA -> final refine -> save video -> evaluate
+        (reference slam.py:129-187)."""
+        cfg = self.cfg
+        if cfg["tracking"]["backend"].get("final_ba", True):
+            self.final_ba()
+        if self.mapper is not None:
+            self.mapper.final_refine(save_final_pcl=True)
+        self.video.save_video(f"{self.output}/video.npz")
+
+        traj_dir = f"{self.output}/traj"
+        try:
+            kf_traj_eval(
+                f"{self.output}/video.npz", traj_dir, "kf_traj",
+                self.stream, self.logger, self.printer,
+            )
+        except Exception as e:  # noqa: BLE001 - eval is best-effort
+            self.printer.print(f"kf traj eval failed: {e}", subsystem="error")
+
+        try:
+            full_traj_eval(
+                self.traj_filler, traj_dir, "full_traj",
+                self.stream, self.logger, self.printer,
+            )
+        except Exception as e:  # noqa: BLE001
+            self.printer.print(f"full traj eval failed: {e}",
+                               subsystem="error")
+
+        if self.mapper is not None:
+            try:
+                self.mapper.eval_kf_imgs()
+                self.mapper.eval_imgs()
+            except Exception as e:  # noqa: BLE001
+                self.printer.print(f"render eval failed: {e}",
+                                   subsystem="error")
+        self.printer.print("Metrics have been written to logs/",
+                           subsystem="eval")
+        self.printer.terminate()

@@ -1,0 +1,99 @@
+"""Backend: global bundle adjustment and loop closure.
+
+Rebuild of reference src/backend.py:5-97 (GO-SLAM style): dense global BA
+over proximity edges with the memory-light alternating-correlation update,
+and windowed loop closure seeded from a copy of the frontend's local graph.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.factor_graph import FactorGraph
+
+
+class Backend:
+    def __init__(self, tracker_net, video, cfg):
+        self.video = video
+        self.tn = tracker_net
+        self.beta = cfg["tracking"]["beta"]
+        bcfg = cfg["tracking"]["backend"]
+        self.backend_thresh = bcfg["thresh"]
+        self.backend_radius = bcfg["radius"]
+        self.backend_nms = bcfg["nms"]
+        self.backend_normalize = bcfg["normalize"]
+        self.backend_loop_window = bcfg["loop_window"]
+        self.backend_loop_thresh = bcfg["loop_thresh"]
+        self.backend_loop_radius = bcfg["loop_radius"]
+        self.backend_loop_nms = bcfg["loop_nms"]
+
+    def _ba(self, t_start, t_end, steps, graph, nms, radius, thresh,
+            max_factors, t_start_loop=None, loop=False, motion_only=False,
+            enable_wq=True):
+        """Propose edges then run update_lowmem (reference backend.py:27-47)."""
+        if t_start_loop is None or not loop:
+            t_start_loop = t_start
+        assert t_start_loop >= t_start
+        edge_num = graph.add_backend_proximity_factors(
+            t_start, t_end, nms, radius, thresh, max_factors, self.beta,
+            t_start_loop, loop,
+        )
+        if edge_num == 0:
+            graph.clear_edges()
+            return 0
+        graph.update_lowmem(
+            t0=t_start_loop + 1,  # fix the loop-window start against drift
+            t1=t_end, itrs=2, steps=steps, enable_wq=enable_wq,
+        )
+        graph.clear_edges()
+        return edge_num
+
+    def dense_ba(self, steps=6, enable_wq=True):
+        """Full global BA (reference backend.py:50-69)."""
+        t_start, t_end = 0, self.video.counter
+        n = t_end - t_start
+        max_factors = (self.backend_radius + 2) * 2 * n
+        if self.backend_normalize:
+            self.video.normalize()
+        graph = FactorGraph(
+            self.video, self.tn.update_apply, self.tn.params,
+            corr_impl="alt", max_factors=max_factors,
+        )
+        n_edges = self._ba(
+            t_start, t_end, steps, graph, self.backend_nms,
+            self.backend_radius, self.backend_thresh, max_factors,
+            motion_only=False, enable_wq=enable_wq,
+        )
+        self.video.set_dirty(t_start, t_end)
+        self.video.update_valid_depth_mask()
+        return n, n_edges
+
+    def loop_ba(self, t_start, t_end, steps=6, motion_only=False,
+                local_graph=None, enable_wq=True):
+        """Windowed loop closure (reference backend.py:73-97)."""
+        radius = self.backend_loop_radius
+        window = self.backend_loop_window
+        max_factors = 8 * window
+        nms = self.backend_loop_nms
+        thresh = self.backend_loop_thresh
+        t_start_loop = max(0, t_end - window)
+
+        graph = FactorGraph(
+            self.video, self.tn.update_apply, self.tn.params,
+            corr_impl="alt", max_factors=max_factors,
+        )
+        if local_graph is not None:
+            # seed from a copy of the frontend graph (backend.py:84-89)
+            graph.ii = local_graph.ii.copy()
+            graph.jj = local_graph.jj.copy()
+            graph.age = local_graph.age.copy()
+            graph.net = local_graph.net
+            graph.target = local_graph.target
+            graph.weight = local_graph.weight
+
+        left = max_factors - len(graph.ii)
+        n_edges = self._ba(
+            t_start, t_end, steps, graph, nms, radius, thresh, left,
+            t_start_loop=t_start_loop, loop=True, motion_only=motion_only,
+            enable_wq=enable_wq,
+        )
+        return t_end - t_start_loop, n_edges

@@ -1,0 +1,116 @@
+"""Frontend: local BA driver with DSPO alternation and keyframe culling.
+
+Rebuild of reference src/frontend.py:5-131. The control flow (init at warmup,
+per-keyframe update, cull-on-low-distance, loop-closure trigger) is host
+logic; all heavy math goes through FactorGraph.update / DepthVideo.ba.
+"""
+
+import numpy as np
+
+from ..core.factor_graph import FactorGraph
+from .backend import Backend
+
+
+class Frontend:
+    def __init__(self, tracker_net, video, cfg):
+        self.video = video
+        self.tn = tracker_net
+        self.t1 = 0
+        self.is_initialized = False
+
+        tcfg = cfg["tracking"]
+        self.max_age = tcfg["max_age"]
+        self.iters1 = 4 * 2
+        self.iters2 = 2 * 2
+        self.warmup = tcfg["warmup"]
+        self.beta = tcfg["beta"]
+        fcfg = tcfg["frontend"]
+        self.frontend_nms = fcfg["nms"]
+        self.keyframe_thresh = fcfg["keyframe_thresh"]
+        self.frontend_window = fcfg["window"]
+        self.frontend_thresh = fcfg["thresh"]
+        self.frontend_radius = fcfg["radius"]
+        self.frontend_max_factors = fcfg["max_factors"]
+        self.enable_loop = fcfg["enable_loop"]
+
+        self.loop_closing = Backend(tracker_net, video, cfg)
+        self.graph = FactorGraph(
+            video, tracker_net.update_apply, tracker_net.params,
+            corr_impl="volume", max_factors=self.frontend_max_factors,
+        )
+        self.last_loop_t = -1
+
+    def _update(self):
+        """Per-keyframe local BA (reference frontend.py:40-86)."""
+        self.t1 += 1
+        if self.graph.corr is not None:
+            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+
+        self.graph.add_proximity_factors(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius, nms=self.frontend_nms,
+            thresh=self.frontend_thresh, beta=self.beta, remove=True,
+        )
+
+        for itr in range(self.iters1):
+            opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
+            self.graph.update(None, None, use_inactive=True, opt_type=opt_type)
+
+        d = self.video.distance(
+            [self.t1 - 2], [self.t1 - 1], beta=self.beta, bidirectional=True
+        )
+
+        if float(d[0]) < self.keyframe_thresh:
+            self.graph.rm_keyframe(self.t1 - 1)
+            self.video.counter -= 1
+            self.t1 -= 1
+        else:
+            cur_t = self.video.counter
+            ran_loop = False
+            if self.enable_loop and cur_t > self.frontend_window:
+                n_kf, n_edge = self.loop_closing.loop_ba(
+                    t_start=0, t_end=cur_t, steps=self.iters2,
+                    motion_only=False, local_graph=self.graph, enable_wq=True,
+                )
+                ran_loop = n_edge > 0
+                self.last_loop_t = cur_t
+            if not ran_loop:
+                for itr in range(self.iters2):
+                    opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
+                    self.graph.update(
+                        t0=None, t1=None, use_inactive=True, opt_type=opt_type
+                    )
+
+        # seed the next pose/disp (frontend.py:81-82)
+        v = self.video
+        v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
+        v.disps = v.disps.at[self.t1].set(v.disps[self.t1 - 1].mean())
+        v.set_dirty(int(self.graph.ii.min()), self.t1)
+
+    def _initialize(self):
+        """Bootstrap on the first `warmup` keyframes (frontend.py:88-117)."""
+        self.t1 = self.video.counter
+        self.graph.add_neighborhood_factors(0, self.t1, r=3)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+        self.graph.add_proximity_factors(
+            0, 0, rad=2, nms=2, thresh=self.frontend_thresh, remove=False
+        )
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+
+        v = self.video
+        v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
+        v.disps = v.disps.at[self.t1].set(v.disps[self.t1 - 4:self.t1].mean())
+        self.is_initialized = True
+        v.set_dirty(0, self.t1)
+        self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+
+    def __call__(self):
+        """Main per-frame hook (reference frontend.py:119-131)."""
+        if not self.is_initialized and self.video.counter == self.warmup:
+            self._initialize()
+            self.video.update_valid_depth_mask()
+        elif self.is_initialized and self.t1 < self.video.counter:
+            self._update()
+            self.video.update_valid_depth_mask()

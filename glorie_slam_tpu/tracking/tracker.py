@@ -1,0 +1,84 @@
+"""Tracker loop: motion filter -> frontend -> periodic online global BA.
+
+Rebuild of reference src/tracker.py:9-79. The reference's mp.Pipe handshake
+with the mapper becomes a direct callback (single-process design,
+SURVEY.md §7): the tracker invokes ``on_keyframe`` synchronously, preserving
+the reference's lock-step semantics (tracker.py:68-70 blocks on pipe.recv).
+"""
+
+from typing import Callable, Optional
+
+from .motion_filter import MotionFilter
+from .frontend import Frontend
+from .backend import Backend
+
+
+class Tracker:
+    def __init__(self, tracker_net, video, cfg, printer=None,
+                 mono_predictor=None,
+                 on_keyframe: Optional[Callable] = None):
+        self.cfg = cfg
+        self.video = video
+        self.printer = printer
+        self.on_keyframe = on_keyframe
+        self.only_tracking = cfg.get("only_tracking", False)
+
+        tcfg = cfg["tracking"]
+        filter_thresh = tcfg["motion_filter"]["thresh"]
+        self.motion_filter = MotionFilter(
+            tracker_net, video, cfg, thresh=filter_thresh,
+            mono_predictor=mono_predictor,
+        )
+        self.frontend = Frontend(tracker_net, video, cfg)
+        self.online_ba = Backend(tracker_net, video, cfg)
+        self.enable_online_ba = tcfg["frontend"]["enable_online_ba"]
+        self.ba_freq = tcfg["backend"]["ba_freq"]
+        self.every_kf = cfg["mapping"]["every_keyframe"]
+
+    def _print(self, msg):
+        if self.printer is not None:
+            self.printer.print(msg, subsystem="tracker")
+
+    def run(self, stream):
+        """Track every frame of the dataset stream (reference tracker.py:33-78).
+
+        stream yields (timestamp, image_hw3_01, gt_color_path?, gt_pose?);
+        only (timestamp, image) are consumed here.
+        """
+        prev_kf_idx = 0
+        prev_ba_idx = 0
+        number_of_kf = 0
+        intrinsic = stream.get_intrinsic()
+
+        for i in range(len(stream)):
+            timestamp, image = stream[i][0], stream[i][1]
+            self.motion_filter.track(timestamp, image, intrinsic)
+            self.frontend()
+            curr_kf_idx = self.video.counter - 1
+
+            if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
+                number_of_kf += 1
+                if (self.enable_online_ba
+                        and curr_kf_idx >= prev_ba_idx + self.ba_freq):
+                    self._print(
+                        f"Online BA at {curr_kf_idx}th keyframe, "
+                        f"frame index: {timestamp}"
+                    )
+                    self.online_ba.dense_ba(2)
+                    prev_ba_idx = curr_kf_idx
+                if (not self.only_tracking and self.on_keyframe is not None
+                        and number_of_kf % self.every_kf == 0):
+                    # synchronous mapper handshake (reference pipe send/recv)
+                    self.on_keyframe(
+                        {"is_keyframe": True, "video_idx": curr_kf_idx,
+                         "timestamp": timestamp, "end": False}
+                    )
+            prev_kf_idx = curr_kf_idx
+            if self.printer is not None:
+                self.printer.update_pbar()
+
+        if not self.only_tracking and self.on_keyframe is not None:
+            self.on_keyframe(
+                {"is_keyframe": True, "video_idx": None,
+                 "timestamp": None, "end": True}
+            )

@@ -119,7 +119,9 @@ def test_cvx_upsample_uniform_mask_is_blur():
 def _small_scene():
     rng = np.random.default_rng(7)
     N, ht, wd = 8, 10, 12
-    xi = np.cumsum(rng.normal(size=(N, 6)) * np.array([0.1] * 3 + [0.03] * 3), 0)
+    # constant twist per step -> displacement grows monotonically
+    step = np.array([0.08, 0.04, 0.02, 0.01, 0.02, 0.01])
+    xi = np.cumsum(np.tile(step, (N, 1)), 0)
     poses = lie.exp(jnp.asarray(xi, jnp.float32))
     disps = jnp.asarray(0.8 + 0.4 * rng.random((N, ht, wd)), jnp.float32)
     intr = jnp.asarray([10.0, 10.0, wd / 2 - 0.5, ht / 2 - 0.5], jnp.float32)

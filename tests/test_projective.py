@@ -104,8 +104,10 @@ def test_iproj_world_roundtrip(scene):
     x = fx * cam[..., 0] / cam[..., 2] + cx
     y = fy * cam[..., 1] / cam[..., 2] + cy
     grid = projective.coords_grid(disps.shape[1], disps.shape[2])
-    np.testing.assert_allclose(np.asarray(x), np.asarray(grid[..., 0]), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(grid[..., 1]), atol=1e-3)
+    gx = np.broadcast_to(np.asarray(grid[..., 0]), x.shape)
+    gy = np.broadcast_to(np.asarray(grid[..., 1]), y.shape)
+    np.testing.assert_allclose(np.asarray(x), gx, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(y), gy, atol=1e-3)
     # depth consistency: z = 1/disp
     np.testing.assert_allclose(
         np.asarray(cam[..., 2]), 1.0 / np.asarray(disps), rtol=1e-4
