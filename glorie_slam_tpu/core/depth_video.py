@@ -123,26 +123,44 @@ class DepthVideo:
     # ------------------------------------------------------------------
 
     def reproject(self, ii, jj):
-        """Project pixels of frames ii into frames jj (depth_video.py:156-164)."""
-        ii = jnp.asarray(ii, jnp.int32)
-        jj = jnp.asarray(jj, jnp.int32)
-        return projective.projective_transform(
-            self.poses, self.disps, self.intrinsics, ii, jj
+        """Project pixels of frames ii into frames jj (depth_video.py:156-164).
+
+        Edge lists are bucket-padded so jit shapes stay bounded."""
+        ii = np.asarray(ii).reshape(-1)
+        jj = np.asarray(jj).reshape(-1)
+        E = len(ii)
+        E_pad = bucket(E)
+        ii_p = np.concatenate([ii, np.zeros(E_pad - E, ii.dtype)])
+        jj_p = np.concatenate([jj, np.zeros(E_pad - E, jj.dtype)])
+        coords, valid = projective.projective_transform(
+            self.poses, self.disps, self.intrinsics,
+            jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
         )
+        return coords[:E], valid[:E]
 
     def distance(self, ii, jj, beta=0.3, bidirectional=True):
-        """Mean induced-flow distance (depth_video.py:166-196)."""
-        ii = jnp.asarray(ii, jnp.int32).reshape(-1)
-        jj = jnp.asarray(jj, jnp.int32).reshape(-1)
+        """Mean induced-flow distance (depth_video.py:166-196).
+
+        Edge lists are bucket-padded so jit shapes stay bounded."""
+        ii = np.asarray(ii).reshape(-1)
+        jj = np.asarray(jj).reshape(-1)
+        E = len(ii)
+        E_pad = bucket(E)
+        ii_p = jnp.asarray(
+            np.concatenate([ii, np.zeros(E_pad - E, np.int64)]), jnp.int32
+        )
+        jj_p = jnp.asarray(
+            np.concatenate([jj, np.zeros(E_pad - E, np.int64)]), jnp.int32
+        )
         if bidirectional:
             d = dist_mod.frame_distance_bidirectional(
-                self.poses, self.disps, self.intrinsics, ii, jj, beta
+                self.poses, self.disps, self.intrinsics, ii_p, jj_p, beta
             )
         else:
             d = dist_mod.frame_distance(
-                self.poses, self.disps, self.intrinsics, ii, jj, beta
+                self.poses, self.disps, self.intrinsics, ii_p, jj_p, beta
             )
-        return np.asarray(d)
+        return np.asarray(d)[:E]
 
     def distance_matrix(self, beta=0.3):
         """All-pairs (counter x counter) bidirectional distance matrix."""

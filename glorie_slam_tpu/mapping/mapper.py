@@ -1,0 +1,810 @@
+"""Mapper: deformable neural point cloud optimization.
+
+Rebuild of reference src/mapper.py:35-859. Per keyframe handshake:
+  1. deform the cloud to the latest poses/depths (one batched pass);
+  2. align the mono prior (scale/shift) and anchor new neural points;
+  3. build the proxy render depth (droid ∪ splatted cloud ∪ mono);
+  4. joint optimization over a keyframe window: Adam on
+     (decoder params, geo feats, col feats) with per-stage learning rates,
+     losses = L1 depth + L1 color + pixel-warping loss (mapper.py:326-513).
+
+TPU-first: the whole optimization step (render -> losses -> grads -> Adam)
+is ONE jitted function over fixed-size ray batches; frustum feature
+selection becomes a gradient mask instead of index surgery; window frame
+count and ray counts are bucket-padded.
+"""
+
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.buckets import bucket
+from . import sampling
+from .decoders import PointDecoders
+from .point_cloud import NeuralPointCloud, rays_from_uv
+from .renderer import RenderConfig, render_img, render_rays
+from .import_pointslam import load_pointslam_geo_decoder
+
+
+def smooth_l1(x, beta=0.1):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+@partial(jax.jit, static_argnames=("decoders", "rcfg", "stage", "pix_warp",
+                                   "Wi", "Hi"))
+def _map_train_step(decoders, rcfg, train_params, opt_state, lrs,
+                    cloud_pos, count, rays_o, rays_d, render_depth,
+                    gt_color, r_query, inside_mask,
+                    ray_frame_slot, frame_valid, c2ws, img_colors,
+                    geo_grad_mask, col_grad_mask, dec_grad_mask,
+                    intr, w_losses,
+                    *, stage: str, pix_warp: bool, Wi: int, Hi: int):
+    """One mapping optimization step (reference optimizer_update_one_step,
+    mapper.py:390-515). Returns (train_params, opt_state, metrics)."""
+    fx, fy, cx, cy = intr
+    w_geo, w_color, w_warp = w_losses
+
+    def loss_fn(tp):
+        params = {"params": tp["dec"]}
+        depth, var, color, valid_ray, counts = render_rays(
+            rcfg, decoders, params, rays_o, rays_d, render_depth,
+            cloud_pos, count, tp["geo"], tp["col"], r_query, stage,
+        )
+        depth_mask = (render_depth > 0) & jnp.isfinite(depth) & inside_mask
+        geo_loss = jnp.sum(
+            jnp.where(depth_mask, jnp.abs(render_depth - depth), 0.0)
+        )
+        loss = w_geo * geo_loss
+        color_loss = jnp.sum(
+            jnp.where(depth_mask[:, None], jnp.abs(gt_color - color), 0.0)
+        )
+        if stage == "color":
+            loss = loss + w_color * color_loss
+
+        warp_loss = jnp.asarray(0.0)
+        if pix_warp:
+            # project sampled 3D points into every window frame
+            # (mapper.py:326-388 pix_warping_loss)
+            pts = rays_o + rays_d * depth[:, None]            # (R, 3)
+            F = c2ws.shape[0]
+            w2cs = jnp.linalg.inv(c2ws)                       # (F, 4, 4)
+            cam = (jnp.einsum("fij,rj->fri", w2cs[:, :3, :3], pts)
+                   + w2cs[:, None, :3, 3])                    # (F, R, 3)
+            cam = cam.at[..., 0].multiply(-1.0)               # x flip
+            z = cam[..., 2]
+            u = fx * cam[..., 0] / (z + 1e-6) + cx
+            v = fy * cam[..., 1] / (z + 1e-6) + cy
+            edge = 5
+            ok = ((u > edge) & (u < Wi - edge) & (v > edge)
+                  & (v < Hi - edge) & (z < 0))                # (F, R)
+            ok = ok & frame_valid[:, None]
+            # exclude padded rays and the pixel's own frame (mapper.py:364)
+            ok = ok & (ray_frame_slot < F)[None, :]
+            own = ray_frame_slot[None, :] == jnp.arange(F)[:, None]
+            ok = ok & ~own
+            # require >= 4 covisible frames (mapper.py:367)
+            enough = jnp.sum(ok, axis=0) >= 4
+            ok = ok & enough[None, :]
+
+            # bilinear sample img_colors (F, H, W, 3) at (u, v); border pad.
+            # matches grid_sample(align_corners=False): the reference
+            # normalizes with u/W*2-1 which maps back to exactly u - 0.5
+            uu = jnp.clip(u - 0.5, 0.0, Wi - 1.0)
+            vv = jnp.clip(v - 0.5, 0.0, Hi - 1.0)
+            u0 = jnp.floor(uu).astype(jnp.int32)
+            v0 = jnp.floor(vv).astype(jnp.int32)
+            u1 = jnp.minimum(u0 + 1, Wi - 1)
+            v1 = jnp.minimum(v0 + 1, Hi - 1)
+            du = (uu - u0)[..., None]
+            dv = (vv - v0)[..., None]
+            fidx = jnp.arange(F)[:, None]
+            c00 = img_colors[fidx, v0, u0]
+            c01 = img_colors[fidx, v0, u1]
+            c10 = img_colors[fidx, v1, u0]
+            c11 = img_colors[fidx, v1, u1]
+            warped = ((1 - dv) * ((1 - du) * c00 + du * c01)
+                      + dv * ((1 - du) * c10 + du * c11))     # (F, R, 3)
+            diff = warped - gt_color[None, :, :]
+            per = jnp.mean(smooth_l1(diff, beta=0.1), axis=-1)  # (F, R)
+            cnt = jnp.maximum(jnp.sum(ok), 1)
+            warp_loss = jnp.sum(jnp.where(ok, per, 0.0)) / cnt
+            loss = loss + w_warp * warp_loss
+
+        n_mask = jnp.maximum(jnp.sum(depth_mask), 1)
+        return loss, (geo_loss, color_loss, warp_loss, n_mask)
+
+    grads, aux = jax.grad(loss_fn, has_aux=True)(train_params)
+    geo_loss, color_loss, warp_loss, n_mask = aux
+
+    grads["geo"] = grads["geo"] * geo_grad_mask
+    grads["col"] = grads["col"] * col_grad_mask
+    grads["dec"] = jax.tree_util.tree_map(
+        lambda g, m: g * m, grads["dec"], dec_grad_mask
+    )
+
+    updates, opt_state = _adam_groups(grads, opt_state, lrs)
+    train_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, train_params, updates
+    )
+    metrics = {"geo_loss": geo_loss, "color_loss": color_loss,
+               "warp_loss": warp_loss, "n_mask": n_mask}
+    return train_params, opt_state, metrics
+
+
+_ADAM = optax.scale_by_adam()
+
+
+def _adam_groups(grads, opt_state, lrs):
+    """Adam moments per group, scaled by per-group dynamic LRs
+    (reference mapper.py:412-414 sets param_group lrs per stage)."""
+    lr_dec, lr_geo, lr_col = lrs
+    upd, new_state = _ADAM.update(grads, opt_state)
+    upd = dict(upd)
+    upd["dec"] = jax.tree_util.tree_map(lambda u: -lr_dec * u, upd["dec"])
+    upd["geo"] = -lr_geo * upd["geo"]
+    upd["col"] = -lr_col * upd["col"]
+    return upd, new_state
+
+
+class Mapper:
+    def __init__(self, slam, cfg):
+        self.cfg = cfg
+        self.slam = slam
+        self.video = slam.video
+        self.printer = slam.printer
+        self.output = slam.output
+        self.logger = slam.logger
+
+        m = cfg["mapping"]
+        self.mapping_pixels = m["pixels"]
+        self.pixels_adding = m["pixels_adding"]
+        self.pixels_based_on_color_grad = m["pixels_based_on_color_grad"]
+        self.num_joint_iters = m["iters"]
+        self.geo_iter_first = m["geo_iter_first"]
+        self.iters_first = m["iters_first"]
+        self.geo_iter_ratio = m["geo_iter_ratio"]
+        self.mapping_window_size = m["mapping_window_size"]
+        self.frustum_feature_selection = m["frustum_feature_selection"]
+        self.keyframe_selection_method = m["keyframe_selection_method"]
+        self.frustum_edge = m["frustum_edge"]
+        self.min_iter_ratio = m["min_iter_ratio"]
+        self.pix_warping = m["pix_warping"]
+        self.w_color_loss = m["w_color_loss"]
+        self.w_pix_warp_loss = m["w_pix_warp_loss"]
+        self.w_geo_loss = m["w_geo_loss"]
+        self.fix_geo_decoder = m["fix_geo_decoder"]
+        self.fix_color_decoder = m["fix_color_decoder"]
+        self.render_depth_type = m["render_depth"]
+        self.use_mono_to_complete = m["use_mono_to_complete"]
+        self.every_keyframe = m["every_keyframe"]
+
+        self.use_dynamic_radius = cfg["pointcloud"]["use_dynamic_radius"]
+        self.bind_npc_with_pose = cfg["pointcloud"]["bind_npc_with_pose"]
+        cap = cfg["pointcloud"].get("capacity", 1 << 20)
+        self.npc = NeuralPointCloud(cfg, self.video, capacity=cap,
+                                    seed=cfg.get("setup_seed", 43))
+        self.H, self.W = slam.H, slam.W
+        self.fx, self.fy = slam.fx, slam.fy
+        self.cx, self.cy = slam.cx, slam.cy
+
+        self.rcfg = RenderConfig.from_cfg(cfg)
+        self.decoders = PointDecoders(
+            c_dim=cfg["model"]["c_dim"],
+            use_view_direction=cfg["model"]["use_view_direction"],
+            encode_viewd=cfg["model"]["encode_viewd"],
+            encode_rel_pos=cfg["model"]["encode_rel_pos_in_col"],
+            weighting=cfg["pointcloud"]["nn_weighting"],
+            min_nn_num=cfg["pointcloud"]["min_nn_num"],
+        )
+        rng = jax.random.PRNGKey(cfg.get("setup_seed", 43))
+        dummy = jnp.zeros((8, 3))
+        dummy_D = jnp.ones((8, self.npc.nn_num))
+        dummy_I = jnp.zeros((8, self.npc.nn_num), jnp.int32)
+        dummy_nn = jnp.zeros((8,), jnp.int32)
+        self.dec_params = self.decoders.init(
+            rng, dummy, dummy_D, dummy_I, dummy_nn,
+            jnp.zeros((8, 32)), jnp.zeros((8, 32)), dummy,
+            jnp.asarray(0.01), dummy, "color",
+        )["params"]
+        ckpt = m.get("pretrained")
+        if ckpt and os.path.exists(ckpt):
+            self.dec_params = load_pointslam_geo_decoder(ckpt, self.dec_params)
+            self.printer.print(f"Loaded Point-SLAM geo decoder from {ckpt}",
+                               subsystem="info")
+
+        self.keyframe_dict: List[Dict] = []
+        self.keyframe_list: List[int] = []
+        self.dynamic_r_add = None
+        self.dynamic_r_query = None
+        self.r_query_store: Dict[int, np.ndarray] = {}
+        self.rng = np.random.default_rng(cfg.get("setup_seed", 43))
+        self.init = True
+        self.frame_reader = slam.stream
+        self.n_img = len(slam.stream)
+
+        from ..utils.visualizer import Visualizer
+
+        self.visualizer = Visualizer(
+            vis_dir=os.path.join(self.output, "mapping_vis"),
+            verbose=cfg.get("verbose", True), logger=self.logger,
+            img_dir=os.path.join(self.output, "rendered_image"),
+        )
+        self.save_rendered_image = m.get("save_rendered_image", False)
+
+    # ------------------------------------------------------------------
+    def _print(self, msg, sub="mapper"):
+        self.printer.print(msg, subsystem=sub)
+
+    def _c2w_nerf(self, video_idx):
+        """Estimated c2w in NeRF convention (y/z flipped, mapper.py:273)."""
+        c2w = self.video.get_pose_c2w(video_idx).copy()
+        c2w[:3, 1:3] *= -1
+        return c2w
+
+    def get_c2w_and_depth(self, video_idx, idx, mono_depth,
+                          print_info=False):
+        """(c2w, aligned mono depth, droid depth) or Nones
+        (reference mapper.py:246-279)."""
+        est_depth, valid_mask, c2w = self.video.get_depth_and_pose(video_idx)
+        if print_info:
+            total = valid_mask.size
+            valid = int(valid_mask.sum())
+            self._print(
+                f"valid droid depth: {valid}/{total} "
+                f"({100 * valid / total:.2f}%)"
+            )
+        if valid_mask.sum() < 100:
+            self._print(f"Skip mapping frame {idx}: not enough valid depth")
+            return None, None, None
+        est_depth = np.where(valid_mask, est_depth, 0.0)
+        c2w = c2w.copy()
+        c2w[:3, 1:3] *= -1
+
+        if mono_depth is None:
+            return (jnp.asarray(c2w), None,
+                    jnp.asarray(est_depth, jnp.float32))
+        mono_depth = np.asarray(mono_depth)
+        mono_valid = mono_depth < mono_depth.mean() * 3
+        from ..geom import alignment
+
+        scale, shift, _ = alignment.align_scale_and_shift(
+            jnp.asarray(mono_depth)[None], jnp.asarray(est_depth)[None],
+            jnp.asarray((mono_valid & valid_mask).astype(np.float32))[None],
+        )
+        s, q = float(scale[0]), float(shift[0])
+        if not np.isfinite(s):
+            s, q = 1.0, 0.0
+        self.video.depth_scale = self.video.depth_scale.at[video_idx].set(s)
+        self.video.depth_shift = self.video.depth_shift.at[video_idx].set(q)
+        mono_wq = jnp.asarray(mono_depth * s + q, jnp.float32)
+        return jnp.asarray(c2w), mono_wq, jnp.asarray(est_depth, jnp.float32)
+
+    # ------------------------------------------------------------------
+    def anchor_points(self, anchor_depth, gt_color, c2w, video_idx):
+        """Anchor new neural points (reference mapper.py:281-324)."""
+        H, W = self.H, self.W
+        mask = np.asarray(anchor_depth) > 0
+        i, j, d, c = sampling.sample_pixels(
+            self.rng, self.pixels_adding, H, W, anchor_depth, gt_color,
+            mask,
+        )
+        rays_o, rays_d = rays_from_uv(
+            jnp.asarray(i, jnp.float32), jnp.asarray(j, jnp.float32),
+            jnp.asarray(c2w), self.fx, self.fy, self.cx, self.cy,
+        )
+        dyn_r = (jnp.asarray(self.dynamic_r_add[j, i])
+                 if self.use_dynamic_radius else None)
+        self.npc.add_points(video_idx)
+        added = self.npc.add_neural_points(
+            rays_o, rays_d, jnp.asarray(d), jnp.asarray(c), video_idx,
+            i, j, dynamic_radius=dyn_r,
+        )
+        if self.pixels_based_on_color_grad > 0:
+            i2, j2, d2, c2 = sampling.sample_pixels_with_grad(
+                self.rng, self.pixels_based_on_color_grad, H, W,
+                anchor_depth, gt_color, mask,
+            )
+            ro2, rd2 = rays_from_uv(
+                jnp.asarray(i2, jnp.float32), jnp.asarray(j2, jnp.float32),
+                jnp.asarray(c2w), self.fx, self.fy, self.cx, self.cy,
+            )
+            dyn2 = (jnp.asarray(self.dynamic_r_add[j2, i2])
+                    if self.use_dynamic_radius else None)
+            added += self.npc.add_neural_points(
+                ro2, rd2, jnp.asarray(d2), jnp.asarray(c2), video_idx,
+                i2, j2, is_pts_grad=True, dynamic_radius=dyn2,
+            )
+        self._print(f"{added} locations to add points.", "pcl")
+        return added
+
+    # ------------------------------------------------------------------
+    def keyframe_selection_overlap(self, cur_depth, cur_c2w, k,
+                                   N_samples=8, pixels=200):
+        """Covisibility-ranked keyframe selection (reference mapper.py:176-244)."""
+        H, W = self.H, self.W
+        mask = np.asarray(cur_depth) > 0
+        i, j, d, _ = sampling.sample_pixels(
+            self.rng, pixels, H, W, cur_depth,
+            np.zeros((H, W, 3), np.float32), mask,
+        )
+        rays_o, rays_d = rays_from_uv(
+            jnp.asarray(i, jnp.float32), jnp.asarray(j, jnp.float32),
+            jnp.asarray(cur_c2w), self.fx, self.fy, self.cx, self.cy,
+        )
+        t = np.linspace(0.0, 1.0, N_samples)
+        near = d[:, None] * 0.8
+        far = d[:, None] + 0.5
+        z = near * (1 - t) + far * t
+        pts = (np.asarray(rays_o)[:, None, :]
+               + np.asarray(rays_d)[:, None, :] * z[..., None]).reshape(-1, 3)
+
+        K = np.array([[self.fx, 0, self.cx], [0, self.fy, self.cy],
+                      [0, 0, 1.0]])
+        scores = []
+        for kf_id, kf in enumerate(self.keyframe_dict[:-1]):
+            c2w = self._c2w_nerf(kf["video_idx"])
+            w2c = np.linalg.inv(c2w)
+            cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            cam[:, 0] *= -1
+            uvz = cam @ K.T
+            zc = uvz[:, 2] + 1e-5
+            uv = uvz[:, :2] / zc[:, None]
+            edge = 20
+            ok = ((uv[:, 0] > edge) & (uv[:, 0] < W - edge)
+                  & (uv[:, 1] > edge) & (uv[:, 1] < H - edge) & (zc < 0))
+            scores.append((kf_id, ok.mean()))
+        scores.sort(key=lambda x: -x[1])
+        chosen = [kf_id for kf_id, s in scores if s > 0.0]
+        return list(self.rng.permutation(np.array(chosen))[:k]) \
+            if chosen else []
+
+    # ------------------------------------------------------------------
+    def _frustum_grad_mask(self, c2w, depth_np):
+        """Frustum feature selection as a per-point gradient mask
+        (reference get_mask_from_c2w, mapper.py:126-174)."""
+        H, W = self.H, self.W
+        pts = np.asarray(self.npc.cloud_pos)
+        w2c = np.linalg.inv(np.asarray(c2w))
+        cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        cam[:, 0] *= -1
+        K = np.array([[self.fx, 0, self.cx], [0, self.fy, self.cy],
+                      [0, 0, 1.0]])
+        uvz = cam @ K.T
+        z = uvz[:, 2] + 1e-5
+        uv = uvz[:, :2] / z[:, None]
+        edge = self.frustum_edge
+        ok = ((uv[:, 0] > edge) & (uv[:, 0] < W - edge)
+              & (uv[:, 1] > edge) & (uv[:, 1] < H - edge))
+        ui = np.clip(uv[:, 0].astype(int), 0, W - 1)
+        vi = np.clip(uv[:, 1].astype(int), 0, H - 1)
+        d = depth_np[vi, ui]
+        d = np.where(d == 0, depth_np.max(), d)
+        ok = ok & (-z >= 0) & (-z <= d + 0.5)
+        ok[self.npc.count:] = False
+        return jnp.asarray(ok.astype(np.float32))[:, None]
+
+    def _dec_grad_mask(self, fix_color=None):
+        fix_color = (self.fix_color_decoder if fix_color is None
+                     else fix_color)
+
+        def mask_tree(tree, prefix_fixed):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.zeros_like(x) if prefix_fixed
+                else jnp.ones_like(x), tree
+            )
+
+        return {
+            "geo_decoder": mask_tree(self.dec_params["geo_decoder"],
+                                     self.fix_geo_decoder),
+            "color_decoder": mask_tree(self.dec_params["color_decoder"],
+                                       fix_color),
+        }
+
+    # ------------------------------------------------------------------
+    def optimize_map(self, num_joint_iters, cur_idx, cur_depth,
+                     cur_gt_color, frame_pts_add, cur_c2w, init,
+                     color_refine=False):
+        """Window optimization (reference mapper.py:517-684)."""
+        H, W = self.H, self.W
+        cur_r_query = (self.dynamic_r_query / 3.0 * np.asarray(cur_depth)
+                       if self.use_dynamic_radius else None)
+        cur_mask = np.asarray(cur_depth) > 0
+
+        if len(self.keyframe_dict) == 0:
+            optimize_frame = []
+        elif self.keyframe_selection_method == "global" or color_refine:
+            num = self.mapping_window_size - 2
+            n_kf = len(self.keyframe_dict) - 1
+            optimize_frame = list(
+                self.rng.permutation(np.arange(n_kf))[:min(n_kf, num)]
+            )
+        else:
+            num = self.mapping_window_size - 2
+            optimize_frame = self.keyframe_selection_overlap(
+                cur_depth, cur_c2w, num
+            )
+        if len(self.keyframe_list) > 0:
+            optimize_frame = list(optimize_frame) + [len(self.keyframe_list) - 1]
+        optimize_frame += [-1]
+
+        # per-frame window data
+        frames = []
+        for frame in optimize_frame:
+            if frame != -1:
+                kf = self.keyframe_dict[int(frame)]
+                mono = kf["mono_depth"]
+                c2w, mono_wq, droid_depth = self.get_c2w_and_depth(
+                    kf["video_idx"], kf["idx"],
+                    jnp.asarray(mono) if mono is not None else None,
+                )
+                if c2w is None:
+                    continue
+                if self.render_depth_type == "proxy":
+                    render_depth = self.npc.get_proxy_render_depth(
+                        c2w, droid_depth, mono_wq,
+                        use_mono_to_complete=self.use_mono_to_complete,
+                    )
+                    render_mask = np.asarray(render_depth) > 0
+                else:
+                    render_depth = mono_wq
+                    render_mask = np.ones((H, W), bool)
+                gt_color = kf["color"]
+                r_query_map = self.r_query_store.get(kf["idx"])
+                if r_query_map is not None:
+                    r_query_map = (r_query_map / 3.0
+                                   * np.asarray(render_depth))
+            else:
+                if color_refine:
+                    continue
+                render_depth = cur_depth
+                render_mask = cur_mask
+                gt_color = cur_gt_color
+                c2w = cur_c2w
+                r_query_map = cur_r_query
+            frames.append(dict(
+                frame=frame, render_depth=np.asarray(render_depth),
+                render_mask=np.asarray(render_mask),
+                gt_color=np.asarray(gt_color), c2w=np.asarray(c2w),
+                r_query=r_query_map,
+            ))
+
+        if not frames:
+            return
+        pixs_per_image = self.mapping_pixels // len(frames)
+
+        # frustum gradient masks (mapper.py:591-597)
+        if self.frustum_feature_selection and not color_refine:
+            feat_mask = self._frustum_grad_mask(
+                np.asarray(cur_c2w), np.asarray(cur_depth)
+            )
+        else:
+            live = (np.arange(self.npc.cap) < self.npc.count)
+            feat_mask = jnp.asarray(live.astype(np.float32))[:, None]
+        dec_mask = self._dec_grad_mask(
+            fix_color=True if color_refine else None
+        )
+
+        train_params = {
+            "dec": self.dec_params,
+            "geo": self.npc.geo_feats,
+            "col": self.npc.col_feats,
+        }
+        opt_state = _ADAM.init(train_params)
+
+        if not init and not color_refine:
+            num_joint_iters = int(np.clip(
+                int(num_joint_iters * frame_pts_add / 300),
+                int(self.min_iter_ratio * num_joint_iters),
+                2 * num_joint_iters,
+            ))
+
+        F = len(frames)
+        c2ws = jnp.asarray(np.stack([f["c2w"] for f in frames]))
+        img_colors = jnp.asarray(np.stack([f["gt_color"] for f in frames]))
+        frame_valid = jnp.ones((F,), jnp.bool_)
+        intr = jnp.asarray([self.fx, self.fy, self.cx, self.cy])
+        w_losses = jnp.asarray(
+            [self.w_geo_loss, self.w_color_loss, self.w_pix_warp_loss]
+        )
+        R_total = bucket(pixs_per_image * F)
+
+        geo_iter = (self.geo_iter_first if init
+                    else int(num_joint_iters * self.geo_iter_ratio))
+        cur_stage_name = "init" if init else "stage"
+
+        for it in range(num_joint_iters):
+            stage = "geometry" if it <= geo_iter else "color"
+            sub = "color" if color_refine else stage
+            lr_cfg = self.cfg["mapping"][cur_stage_name][sub]
+            lrs = jnp.asarray([lr_cfg["decoders_lr"],
+                               lr_cfg["geometry_lr"], lr_cfg["color_lr"]])
+
+            # sample rays from every window frame (host RNG)
+            ro_l, rd_l, dep_l, col_l, rq_l, slot_l = [], [], [], [], [], []
+            for sidx, f in enumerate(frames):
+                i, j, d, c = sampling.sample_pixels(
+                    self.rng, pixs_per_image, H, W, f["render_depth"],
+                    f["gt_color"], f["render_mask"],
+                )
+                ro, rd = rays_from_uv(
+                    jnp.asarray(i, jnp.float32), jnp.asarray(j, jnp.float32),
+                    jnp.asarray(f["c2w"]), self.fx, self.fy, self.cx,
+                    self.cy,
+                )
+                ro_l.append(np.asarray(ro))
+                rd_l.append(np.asarray(rd))
+                dep_l.append(d)
+                col_l.append(c)
+                slot_l.append(np.full(len(i), sidx, np.int32))
+                if self.use_dynamic_radius and f["r_query"] is not None:
+                    rq_l.append(np.asarray(f["r_query"])[j, i])
+                else:
+                    rq_l.append(np.full(len(i), self.rcfg.radius_query,
+                                        np.float32))
+            rays_o = np.concatenate(ro_l)
+            rays_d = np.concatenate(rd_l)
+            depth_b = np.concatenate(dep_l)
+            color_b = np.concatenate(col_l)
+            rq_b = np.concatenate(rq_l)
+            slot_b = np.concatenate(slot_l)
+
+            # inside mask (mapper.py:474-476)
+            med = np.median(depth_b)
+            inside = depth_b <= min(10 * med, 1.2 * depth_b.max())
+
+            pad = R_total - len(rays_o)
+            if pad > 0:
+                z3 = np.zeros((pad, 3), np.float32)
+                rays_o = np.concatenate([rays_o, z3])
+                rays_d = np.concatenate([rays_d, z3])
+                depth_b = np.concatenate([depth_b, np.zeros(pad, np.float32)])
+                color_b = np.concatenate([color_b, z3])
+                rq_b = np.concatenate([rq_b, np.full(pad, 1e-3, np.float32)])
+                slot_b = np.concatenate([slot_b, np.full(pad, F, np.int32)])
+                inside = np.concatenate([inside, np.zeros(pad, bool)])
+
+            train_params, opt_state, metrics = _map_train_step(
+                self.decoders, self.rcfg, train_params, opt_state, lrs,
+                self.npc.cloud_pos, jnp.asarray(self.npc.count),
+                jnp.asarray(rays_o), jnp.asarray(rays_d),
+                jnp.asarray(depth_b), jnp.asarray(color_b),
+                jnp.asarray(rq_b), jnp.asarray(inside),
+                jnp.asarray(slot_b), frame_valid, c2ws, img_colors,
+                feat_mask, feat_mask, dec_mask, intr, w_losses,
+                stage=stage, pix_warp=self.pix_warping, Wi=W, Hi=H,
+            )
+            if it % 100 == 0 and self.logger is None:
+                g = float(metrics["geo_loss"])
+                self._print(f"iter {it}: geo_loss {g:.5f}")
+
+        # write back (mapper.py:675-680)
+        self.dec_params = train_params["dec"]
+        self.npc.geo_feats = train_params["geo"]
+        self.npc.col_feats = train_params["col"]
+        self._print("Mapper has updated point features.")
+
+        # visual diagnostics (reference mapper.py:664-673)
+        if not color_refine and not self.cfg.get("silence", False):
+            try:
+                self.visualizer.vis(
+                    cur_idx, num_joint_iters - 1, None, cur_depth, None,
+                    None, cur_gt_color, None, None,
+                    freq_override=init,
+                    save_rendered_image=self.save_rendered_image,
+                )
+            except Exception:  # noqa: BLE001 - diagnostics are best-effort
+                pass
+
+    # ------------------------------------------------------------------
+    def _deform_cloud(self):
+        """Deform the cloud for dirty frames (reference update_points_pos
+        module fn, neural_point.py:504-536)."""
+        dirty = self.video.npc_dirty.copy()
+        dirty_idx = np.where(dirty)[0]
+        if len(dirty_idx) == 0 or self.npc.pts_num() == 0:
+            return
+        self.video.npc_dirty[dirty_idx] = False
+        v = self.video
+        # proxy depth buffer: est depth where multiview-valid
+        disps_up = np.asarray(v.disps_up)
+        depths = np.where(
+            np.asarray(v.valid_depth_mask),
+            1.0 / np.maximum(disps_up, 1e-8), 0.0,
+        ).astype(np.float32)
+        from ..geom import lie as lie_mod
+
+        c2ws = np.array(lie_mod.to_matrix(lie_mod.inv(v.poses)))
+        c2ws[:, :3, 1:3] *= -1
+        self.npc.deform(jnp.asarray(depths), jnp.asarray(c2ws),
+                        jnp.asarray(dirty))
+        self.npc.add_points(dirty_idx)
+
+    def mapping_keyframe(self, idx, video_idx, mono_depth, outer_iters,
+                         num_joint_iters, gt_color, init=False,
+                         color_refine=False):
+        """reference mapper.py:686-740."""
+        if self.bind_npc_with_pose:
+            self._print("Updating pointcloud position ...", "pcl")
+            self._deform_cloud()
+
+        cur_c2w, depth_wq, droid_depth = self.get_c2w_and_depth(
+            video_idx, idx, mono_depth, print_info=True
+        )
+        if cur_c2w is None:
+            return False
+
+        if self.render_depth_type == "proxy":
+            anchor_depth = np.asarray(droid_depth).copy()
+            if depth_wq is not None:
+                inv = anchor_depth == 0
+                anchor_depth[inv] = np.asarray(depth_wq)[inv]
+        else:
+            anchor_depth = np.asarray(depth_wq).copy()
+        if self.use_dynamic_radius:
+            self.dynamic_r_add = self.dynamic_r_add / 3.0 * anchor_depth
+
+        frame_pts_add = 0
+        if not color_refine:
+            frame_pts_add = self.anchor_points(
+                anchor_depth, gt_color, cur_c2w, video_idx
+            )
+
+        if self.render_depth_type == "proxy":
+            render_depth = self.npc.get_proxy_render_depth(
+                cur_c2w, droid_depth, depth_wq,
+                use_mono_to_complete=self.use_mono_to_complete,
+            )
+        else:
+            render_depth = depth_wq
+
+        if color_refine and idx in self.r_query_store:
+            self.dynamic_r_query = self.r_query_store[idx]
+
+        for _ in range(outer_iters):
+            self.optimize_map(
+                num_joint_iters, idx, np.asarray(render_depth), gt_color,
+                frame_pts_add, cur_c2w, init, color_refine=color_refine,
+            )
+        return True
+
+    # ------------------------------------------------------------------
+    def on_keyframe(self, frame_info):
+        """Keyframe handshake from the tracker (reference mapper.py:742-814;
+        the mp.Pipe recv/send pair becomes this synchronous call)."""
+        if frame_info.get("end"):
+            return
+        idx = frame_info["timestamp"]
+        video_idx = frame_info["video_idx"]
+        self._print(f"Mapping Frame {idx} ...")
+
+        _, gt_color, gt_depth, _ = self.frame_reader[int(idx)]
+        mono_depth = self._load_mono(idx)
+
+        if self.use_dynamic_radius:
+            r_add, r_query = sampling.dynamic_radius_maps(gt_color, self.cfg)
+            self.dynamic_r_add, self.dynamic_r_query = r_add, r_query
+            self.r_query_store[int(idx)] = r_query
+
+        if not self.init:
+            num_joint_iters = self.cfg["mapping"]["iters"]
+            self.mapping_window_size = (
+                self.cfg["mapping"]["mapping_window_size"]
+                * (2 if self.n_img > 4000 else 1)
+            )
+        else:
+            num_joint_iters = self.iters_first
+
+        valid = self.mapping_keyframe(
+            int(idx), int(video_idx), mono_depth, 1, num_joint_iters,
+            gt_color, init=self.init, color_refine=False,
+        )
+        self.init = False
+        if not valid:
+            return
+        self.keyframe_list.append(int(idx))
+        self.keyframe_dict.append({
+            "idx": int(idx), "video_idx": int(video_idx),
+            "color": np.asarray(gt_color),
+            "mono_depth": (np.asarray(mono_depth)
+                           if mono_depth is not None else None),
+            "gt_depth": (np.asarray(gt_depth)
+                         if gt_depth is not None else None),
+        })
+
+    def _load_mono(self, idx):
+        try:
+            from ..utils.datasets import load_mono_depth
+
+            return load_mono_depth(idx, self.cfg)
+        except (FileNotFoundError, KeyError, OSError):
+            return None
+
+    # ------------------------------------------------------------------
+    def final_refine(self, save_final_pcl=True):
+        """Global color refinement (reference mapper.py:816-855)."""
+        if self.video.counter < 2 or self.npc.pts_num() == 0:
+            return
+        video_idx = self.video.counter - 1
+        idx = int(np.asarray(self.video.timestamp[video_idx]))
+        num_joint_iters = self.cfg["mapping"]["iters"] * 2
+        self.mapping_window_size = self.video.counter - 1
+        self.geo_iter_ratio = 0.0
+        self.fix_color_decoder = True
+        self.frustum_feature_selection = False
+        self.keyframe_selection_method = "global"
+        _, gt_color, _, _ = self.frame_reader[idx]
+        mono_depth = self._load_mono(idx)
+        self.mapping_keyframe(
+            idx, video_idx, mono_depth, 5, num_joint_iters, gt_color,
+            init=False, color_refine=True,
+        )
+        if save_final_pcl:
+            n = self.npc.count_in
+            cloud_pos = np.asarray(self.npc.input_pos[:n])
+            cloud_rgb = np.asarray(self.npc.input_rgb[:n])
+            np.save(f"{self.output}/final_point_cloud",
+                    np.hstack([cloud_pos, cloud_rgb]))
+            np.save(f"{self.output}/npc_cloud",
+                    np.asarray(self.npc.cloud_pos[: self.npc.count]))
+            self._write_ply(f"{self.output}/final_point_cloud.ply",
+                            cloud_pos, cloud_rgb / 255.0)
+            self._print("Saved point cloud.", "info")
+
+    @staticmethod
+    def _write_ply(path, pos, rgb):
+        """Minimal ASCII PLY writer (replaces the reference's Open3D
+        dependency, mapper.py:845-849)."""
+        n = len(pos)
+        with open(path, "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\n"
+                f"element vertex {n}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n"
+            )
+            rgb8 = np.clip(rgb * 255, 0, 255).astype(np.uint8)
+            for p, c in zip(pos, rgb8):
+                f.write(f"{p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]}\n")
+
+    # ------------------------------------------------------------------
+    def render_keyframe_img(self, video_idx, idx, mono_depth=None):
+        """Re-render a keyframe with proxy depth (used by render eval)."""
+        c2w, mono_wq, droid_depth = self.get_c2w_and_depth(
+            video_idx, idx, mono_depth
+        )
+        if c2w is None:
+            return None
+        render_depth = self.npc.get_proxy_render_depth(
+            c2w, droid_depth, mono_wq,
+            use_mono_to_complete=self.use_mono_to_complete,
+        )
+        r_query = self.r_query_store.get(int(idx))
+        if r_query is not None:
+            r_query = r_query / 3.0 * np.asarray(render_depth)
+        depth, var, color, mask, count = render_img(
+            self.rcfg, self.decoders, {"params": self.dec_params},
+            c2w, self.H, self.W, self.fx, self.fy, self.cx, self.cy,
+            jnp.asarray(render_depth), self.npc.cloud_pos,
+            jnp.asarray(self.npc.count), self.npc.geo_feats,
+            self.npc.col_feats,
+            jnp.asarray(r_query) if r_query is not None else None,
+            stage="color",
+        )
+        return depth, color, np.asarray(render_depth)
+
+    def eval_kf_imgs(self):
+        from ..utils import eval_render
+
+        eval_render.eval_kf_imgs(self)
+
+    def eval_imgs(self):
+        from ..utils import eval_render
+
+        eval_render.eval_imgs(self)

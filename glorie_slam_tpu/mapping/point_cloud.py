@@ -32,17 +32,6 @@ from ..ops import knn as knn_mod
 TILE = 8192
 
 
-def get_rays_from_uv(i, j, c2w, fx, fy, cx, cy):
-    """Rays through pixels (i=u, j=v) for a NeRF-convention c2w 4x4
-    (reference common.py:40-52)."""
-    dirs = jnp.stack(
-        [(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)], -1
-    )
-    rays_d = jnp.einsum("nk,rk->nr".replace("r", "x")[:0] or "nk,xk->nx",
-                        dirs, c2w[:3, :3])  # placeholder, replaced below
-    return rays_d
-
-
 def rays_from_uv(i, j, c2w, fx, fy, cx, cy):
     """Rays through pixels (i=u, j=v); c2w (4,4) NeRF convention."""
     dirs = jnp.stack(
@@ -306,10 +295,11 @@ class NeuralPointCloud:
 
         z_vals = self._z_vals_along_ray(new_depth)          # (cap_in, N_add)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        pts = pts.reshape(-1, 3)
+        pts = pts.reshape(-1, 3)                            # (cap_in*N_add, 3)
         upd_cloud = jnp.repeat(upd, self.N_add)
-        self.cloud_pos = jnp.where(
-            upd_cloud[: self.cap, None], pts[: self.cap], self.cloud_pos
+        n3 = self.cap_in * self.N_add                       # <= cap
+        self.cloud_pos = self.cloud_pos.at[:n3].set(
+            jnp.where(upd_cloud[:, None], pts, self.cloud_pos[:n3])
         )
 
     # ------------------------------------------------------------------

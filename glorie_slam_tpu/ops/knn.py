@@ -22,8 +22,9 @@ NN_NUM = 8
 _BIG = 1e12
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
-def knn_search(queries, points, n_valid, k: int = NN_NUM, tile: int = 8192):
+@partial(jax.jit, static_argnames=("k", "tile", "approx"))
+def knn_search(queries, points, n_valid, k: int = NN_NUM, tile: int = 8192,
+               approx: bool = False):
     """Exact-within-tiles top-k nearest neighbors.
 
     queries: (Q, 3); points: (P_cap, 3) padded cloud; n_valid: scalar count.
@@ -46,14 +47,20 @@ def knn_search(queries, points, n_valid, k: int = NN_NUM, tile: int = 8192):
         start = t * tile
         pts = jax.lax.dynamic_slice(points, (start, 0), (tile, 3))
         p2 = jnp.sum(pts * pts, axis=-1)                     # (tile,)
+        # full f32 precision: the radius dedupe compares against r^2 ~ 1e-3,
+        # and bf16 matmul error (~1e-3 relative) would corrupt it
         cross = jnp.dot(queries, pts.T,
-                        preferred_element_type=jnp.float32)  # (Q, tile)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (Q, tile)
         d = q2 + p2[None, :] - 2.0 * cross
         idx_in_tile = start + jnp.arange(tile)
         invalid = idx_in_tile >= n_valid
         d = jnp.where(invalid[None, :], _BIG, d)
         # merge with running best: concat and re-select top-k
-        negd, sel = jax.lax.approx_max_k(-d, k)
+        if approx:
+            negd, sel = jax.lax.approx_max_k(-d, k)
+        else:
+            negd, sel = jax.lax.top_k(-d, k)
         candD = jnp.concatenate([bestD, -negd], axis=1)
         candI = jnp.concatenate([bestI, idx_in_tile[sel]], axis=1)
         neg2, sel2 = jax.lax.top_k(-candD, k)

@@ -49,6 +49,21 @@ class SLAM:
         os.makedirs(self.output, exist_ok=True)
         os.makedirs(f"{self.output}/logs/", exist_ok=True)
 
+        # optional wandb run (reference slam.py:28-37); gated on import
+        if cfg.get("wandb", False):
+            try:
+                import wandb
+
+                self.logger = wandb.init(
+                    resume="allow", config=cfg,
+                    project=cfg.get("setting", "glorie_slam_tpu"),
+                    group=cfg.get("dataset", ""), name=cfg.get("scene", ""),
+                    dir=cfg.get("wandb_folder", "output/wandb"),
+                    tags=[cfg.get("scene", "")],
+                )
+            except ImportError:
+                pass
+
         self.H, self.W, self.fx, self.fy, self.cx, self.cy = update_cam(cfg)
         self.printer = Printer(len(stream), cfg.get("silence", False))
 
@@ -147,10 +162,11 @@ class SLAM:
             self.printer.print(f"kf traj eval failed: {e}", subsystem="error")
 
         try:
-            full_traj_eval(
+            est_w2c, _, _ = full_traj_eval(
                 self.traj_filler, traj_dir, "full_traj",
                 self.stream, self.logger, self.printer,
             )
+            np.save(f"{traj_dir}/full_traj_w2c.npy", np.asarray(est_w2c))
         except Exception as e:  # noqa: BLE001
             self.printer.print(f"full traj eval failed: {e}",
                                subsystem="error")
@@ -158,10 +174,34 @@ class SLAM:
         if self.mapper is not None:
             try:
                 self.mapper.eval_kf_imgs()
-                self.mapper.eval_imgs()
             except Exception as e:  # noqa: BLE001
                 self.printer.print(f"render eval failed: {e}",
                                    subsystem="error")
+            try:
+                from .utils.generate_mesh import generate_mesh_kf
+
+                generate_mesh_kf(cfg, stream=self.stream,
+                                 printer=self.printer)
+            except Exception as e:  # noqa: BLE001
+                self.printer.print(f"meshing failed: {e}", subsystem="error")
+            try:
+                self.mapper.eval_imgs()
+            except Exception as e:  # noqa: BLE001
+                self.printer.print(f"full render eval failed: {e}",
+                                   subsystem="error")
+            gt_mesh = cfg.get("meshing", {}).get("gt_mesh_path", "")
+            if gt_mesh and os.path.exists(gt_mesh):
+                try:
+                    from .utils.eval_recon import eval_recon_with_cfg
+
+                    result = eval_recon_with_cfg(cfg, printer=self.printer)
+                    with open(f"{self.output}/logs/metrics_recon.txt",
+                              "w+") as fp:
+                        for k, v in result.items():
+                            fp.write(f"{k}: {v}\n")
+                except Exception as e:  # noqa: BLE001
+                    self.printer.print(f"recon eval failed: {e}",
+                                       subsystem="error")
         self.printer.print("Metrics have been written to logs/",
                            subsystem="eval")
         self.printer.terminate()

@@ -6,7 +6,8 @@ a coarse bucket ladder bounds XLA recompilation to a handful of shapes
 """
 
 _LADDER = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
-           1536, 2048, 3072, 4096)
+           1536, 2048, 3072, 4096, 8192, 16384, 32768, 65536, 131072,
+           262144, 524288)
 
 
 def bucket(n: int, ladder=_LADDER) -> int:

@@ -115,7 +115,59 @@ def base_cfg(H=64, W=96, buffer=64, out="/tmp/glorie_test"):
         "stride": 1,
         "max_frames": -1,
         "setup_seed": 1,
-        "mapping": {"every_keyframe": 1, "every_frame": 5},
+        "mapping": {
+            "every_keyframe": 1, "every_frame": 5,
+            "pretrained": None,
+            "geo_iter_ratio": 0.4, "geo_iter_first": 3,
+            "frustum_edge": -4, "fix_geo_decoder": False,
+            "fix_color_decoder": False, "mapping_window_size": 3,
+            "frustum_feature_selection": False,
+            "keyframe_selection_method": "overlap",
+            "keyframe_setting_method": "period",
+            "pixels": 96, "pixels_adding": 128,
+            "pixels_based_on_color_grad": 0,
+            "iters_first": 6, "iters": 4, "save_rendered_image": False,
+            "min_iter_ratio": 0.95, "pix_warping": True,
+            "w_pix_warp_loss": 1000.0, "w_geo_loss": 1.0,
+            "w_color_loss": 0.1, "render_depth": "proxy",
+            "use_mono_to_complete": True, "save_depth": False,
+            "init": {
+                "geometry": {"decoders_lr": 0.001, "geometry_lr": 0.03,
+                             "color_lr": 0.0},
+                "color": {"decoders_lr": 0.005, "geometry_lr": 0.005,
+                          "color_lr": 0.005},
+            },
+            "stage": {
+                "geometry": {"decoders_lr": 0.001, "geometry_lr": 0.03,
+                             "color_lr": 0.0},
+                "color": {"decoders_lr": 0.005, "geometry_lr": 0.005,
+                          "color_lr": 0.005},
+            },
+        },
+        "rendering": {
+            "N_surface": 5, "near_end": 0.3, "near_end_surface": 0.95,
+            "far_end_surface": 1.05, "sigmoid_coef": 0.1,
+            "sample_near_pcl": True,
+        },
+        "pointcloud": {
+            "nn_num": 8, "min_nn_num": 2, "N_add": 3,
+            "nn_weighting": "distance", "radius_add": 0.04,
+            "radius_min": 0.02, "radius_query": 0.08,
+            "radius_add_max": 0.08, "radius_add_min": 0.02,
+            "radius_query_ratio": 2, "color_grad_threshold": 0.15,
+            "near_end_surface": 0.95, "far_end_surface": 1.05,
+            "nlist": 400, "nprobe": 4,
+            "fix_interval_when_add_along_ray": False,
+            "use_dynamic_radius": True, "bind_npc_with_pose": True,
+            "capacity": 8192,
+        },
+        "model": {
+            "c_dim": 32, "exposure_dim": 8,
+            "pos_embedding_method": "fourier",
+            "encode_rel_pos_in_col": True, "use_view_direction": True,
+            "encode_viewd": True,
+        },
+        "meshing": {"gt_mesh_path": ""},
         "mono_prior": {},
         "tracking": {
             "pretrained": None,

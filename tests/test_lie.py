@@ -116,8 +116,10 @@ def test_adjT_transpose_of_adjoint(rng):
 
     Ad = adj_numeric()
     X = np.eye(6, dtype=np.float32)
+    # row k of the stack is (Ad^T e_k)^T = e_k^T Ad = row k of Ad
     out = np.stack([np.asarray(lie.adjT(pose, jnp.asarray(X[k]))) for k in range(6)])
-    np.testing.assert_allclose(out, Ad.T, atol=1e-3)
+    # f32 finite differences at eps=1e-4 carry ~1e-7/eps = 1e-3 noise
+    np.testing.assert_allclose(out, Ad, atol=1e-2)
 
 
 def test_interp_endpoints(rng):

@@ -1,0 +1,116 @@
+"""Mapping pipeline e2e test driven by oracle tracking state.
+
+Random tracker weights starve the mapper (the multiview filter rejects
+garbage depths), so the DepthVideo is filled with ground-truth poses and
+depths directly — the test isolates the full mapping stack: deformation,
+anchoring, proxy depth, window optimization, final refine, render eval and
+meshing.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthetic import SyntheticStream, base_cfg
+from glorie_slam_tpu.core.depth_video import DepthVideo
+from glorie_slam_tpu.geom import lie
+
+
+class _SlamShim:
+    """Minimal SLAM-like facade the Mapper needs."""
+
+    def __init__(self, cfg, stream, video):
+        from glorie_slam_tpu.slam import update_cam
+        from glorie_slam_tpu.utils.printer import Printer
+
+        self.cfg = cfg
+        self.stream = stream
+        self.video = video
+        self.printer = Printer(0, silence=True)
+        self.logger = None
+        self.output = (
+            f"{cfg['data']['output']}/{cfg['setting']}/{cfg['scene']}"
+        )
+        os.makedirs(f"{self.output}/logs", exist_ok=True)
+        self.H, self.W, self.fx, self.fy, self.cx, self.cy = update_cam(cfg)
+
+
+@pytest.fixture(scope="module")
+def oracle_setup(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("map_out"))
+    stream = SyntheticStream(n_frames=6, H=64, W=96, seed=5)
+    cfg = base_cfg(H=64, W=96, buffer=16, out=out)
+    cfg["only_tracking"] = False
+
+    video = DepthVideo(cfg)
+    n = len(stream)
+    for t in range(n):
+        depth = stream.depths[t]
+        video.append(
+            t, jnp.asarray((stream.frames[t] * 255).astype(np.uint8)),
+            jnp.asarray(stream.poses_w2c[t]),
+            jnp.asarray(1.0 / depth[3::8, 3::8]),
+            None, stream.intrinsics / 8.0,
+            jnp.zeros((8, 12, 128)), jnp.zeros((8, 12, 128)),
+            jnp.zeros((8, 12, 128)),
+        )
+        video.disps_up = video.disps_up.at[t].set(jnp.asarray(1.0 / depth))
+        video.valid_depth_mask = video.valid_depth_mask.at[t].set(True)
+    video.dirty[:n] = False
+    video.npc_dirty[:n] = True
+
+    from glorie_slam_tpu.mapping.mapper import Mapper
+
+    slam = _SlamShim(cfg, stream, video)
+    mapper = Mapper(slam, cfg)
+    return mapper, stream, video, slam
+
+
+def test_mapping_keyframes_anchor_and_optimize(oracle_setup):
+    mapper, stream, video, slam = oracle_setup
+    for t in range(0, len(stream), 2):
+        mapper.on_keyframe(
+            {"is_keyframe": True, "video_idx": t, "timestamp": t,
+             "end": False}
+        )
+    assert mapper.npc.pts_num() > 0
+    assert len(mapper.keyframe_dict) >= 2
+    feats = np.asarray(mapper.npc.geo_feats[: mapper.npc.count])
+    assert np.all(np.isfinite(feats))
+    # proxy depth for the last mapped frame must be dense-ish
+    c2w, mono_wq, droid_depth = mapper.get_c2w_and_depth(4, 4, None)
+    proxy = mapper.npc.get_proxy_render_depth(
+        c2w, droid_depth, None, use_mono_to_complete=False
+    )
+    assert float((np.asarray(proxy) > 0).mean()) > 0.9
+
+
+def test_final_refine_and_artifacts(oracle_setup):
+    mapper, stream, video, slam = oracle_setup
+    mapper.final_refine(save_final_pcl=True)
+    out = slam.output
+    assert os.path.exists(f"{out}/final_point_cloud.npy")
+    assert os.path.exists(f"{out}/final_point_cloud.ply")
+    pc = np.load(f"{out}/final_point_cloud.npy")
+    assert pc.shape[1] == 6 and len(pc) > 0
+    assert np.all(np.isfinite(pc[:, :3]))
+
+
+def test_render_eval_and_meshing(oracle_setup):
+    mapper, stream, video, slam = oracle_setup
+    video.save_video(f"{slam.output}/video.npz")
+    mapper.eval_kf_imgs()
+    assert os.path.exists(f"{slam.output}/logs/metrics_render_kf.txt")
+    # rendered depth dumps exist for meshing
+    dumps = os.listdir(f"{slam.output}/rendered_every_keyframe")
+    assert any(f.startswith("depth_") for f in dumps)
+
+    from glorie_slam_tpu.utils.generate_mesh import generate_mesh_kf
+
+    ret = generate_mesh_kf(slam.cfg, stream=stream, printer=slam.printer)
+    assert ret is not None
+    verts, faces = ret
+    assert len(verts) > 0 and len(faces) > 0
+    assert os.path.exists(f"{slam.output}/mesh/rendered_mesh_kf.ply")
