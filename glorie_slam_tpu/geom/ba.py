@@ -220,37 +220,33 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
         wz = wz[:K_max] - m_sens * alpha * (disp_win - sens_win)
         Q = 1.0 / C
 
-        # ---- Schur complement: scan over depth frames
+        # ---- Schur complement: all depth frames batched (vmap over K)
         Ei_pad = jnp.concatenate([Ei, jnp.zeros((1, 6, npix), Ei.dtype)], 0)
         Ej_pad = jnp.concatenate([Ej, jnp.zeros((1, 6, npix), Ej.dtype)], 0)
         jj_pad = jnp.concatenate([jj, jnp.array([-1], jj.dtype)], 0)
 
-        def frame_step(carry, inputs):
-            S, vs = carry
-            adj_k, mask_k, Qk, wk, k = inputs
-            # rows: [sum of Ei over frame-k edges (pose k)] + [Ej per edge]
+        def frame_rows(adj_k, mask_k, k):
+            """Compact per-frame coupling rows (1+Dmax, 6, npix) + pose slots."""
             Ei_rows = Ei_pad[adj_k] * mask_k[:, None, None]
             Ej_rows = Ej_pad[adj_k] * mask_k[:, None, None]
             row0 = jnp.sum(Ei_rows, axis=0, keepdims=True)
-            rows = jnp.concatenate([row0, Ej_rows], 0)     # (1+Dmax, 6, npix)
+            rows = jnp.concatenate([row0, Ej_rows], 0)
             slot0 = _pose_slot(kbase + k, t0, t1, P_max)
             slots = jnp.concatenate(
                 [slot0[None], _pose_slot(jj_pad[adj_k], t0, t1, P_max)], 0
             )
-            rq = rows * Qk[None, None, :]
-            gram = jnp.einsum("ldp,mep->lmde", rq, rows, precision=_HI)
-            S = S.at[slots[:, None], slots[None, :]].add(gram)
-            ev = jnp.einsum("ldp,p->ld", rq, wk, precision=_HI)
-            vs = vs.at[slots].add(ev)
-            return (S, vs), None
+            return rows, slots
+
+        ks = jnp.arange(K_max, dtype=jnp.int32)
+        rows_all, slots_all = jax.vmap(frame_rows)(adj, adj_mask, ks)
+        rq_all = rows_all * Q[:, None, None, :]
+        gram_all = jnp.einsum("kldp,kmep->klmde", rq_all, rows_all,
+                              precision=_HI)
+        ev_all = jnp.einsum("kldp,kp->kld", rq_all, wz, precision=_HI)
 
         S0 = jnp.zeros((P_max + 1, P_max + 1, 6, 6), poses.dtype)
-        vs0 = jnp.zeros((P_max + 1, 6), poses.dtype)
-        (S, vs), _ = jax.lax.scan(
-            frame_step,
-            (S0, vs0),
-            (adj, adj_mask, Q, wz, jnp.arange(K_max, dtype=jnp.int32)),
-        )
+        S = S0.at[slots_all[:, :, None], slots_all[:, None, :]].add(gram_all)
+        vs = jnp.zeros((P_max + 1, 6), poses.dtype).at[slots_all].add(ev_all)
 
         A = (H - S)[:P_max, :P_max].transpose(0, 2, 1, 3).reshape(
             P_max * 6, P_max * 6
@@ -261,25 +257,10 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
         dx_pad = jnp.concatenate([dx, jnp.zeros((1, 6), dx.dtype)], 0)
 
         # ---- back-substitute depths: dz_k = Q_k (w_k - E_k^T dx)
-        def frame_back(k, dz):
-            adj_k = adj[k]
-            mask_k = adj_mask[k]
-            Ei_rows = Ei_pad[adj_k] * mask_k[:, None, None]
-            Ej_rows = Ej_pad[adj_k] * mask_k[:, None, None]
-            row0 = jnp.sum(Ei_rows, axis=0, keepdims=True)
-            rows = jnp.concatenate([row0, Ej_rows], 0)
-            slot0 = _pose_slot(kbase + k, t0, t1, P_max)
-            slots = jnp.concatenate(
-                [slot0[None], _pose_slot(jj_pad[adj_k], t0, t1, P_max)], 0
-            )
-            _dx = dx_pad[jnp.minimum(slots, P_max)]
-            _dx = jnp.where((slots < P_max)[:, None], _dx, 0.0)
-            et_dx = jnp.einsum("ldp,ld->p", rows, _dx, precision=_HI)
-            return dz.at[k].set(Q[k] * (wz[k] - et_dx))
-
-        dz = jax.lax.fori_loop(
-            0, K_max, frame_back, jnp.zeros((K_max, npix), poses.dtype)
-        )
+        dx_rows = dx_pad[jnp.minimum(slots_all, P_max)]
+        dx_rows = jnp.where((slots_all < P_max)[..., None], dx_rows, 0.0)
+        et_dx = jnp.einsum("kldp,kld->kp", rows_all, dx_rows, precision=_HI)
+        dz = Q * (wz - et_dx)
 
         if not depth_only:
             poses = _apply_pose_retr(poses, dx, t0, t1, P_max)

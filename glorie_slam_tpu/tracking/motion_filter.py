@@ -26,7 +26,9 @@ def _flow_magnitude(update_apply, params, fmap_kf, fmap_new, net, inp):
     coords0 = projective.coords_grid(h, w)[None]
     f1 = jnp.moveaxis(fmap_kf, -1, 1)
     f2 = jnp.moveaxis(fmap_new, -1, 1)
-    pyramid = tuple(corr_mod.build_pyramid(corr_mod.all_pairs_corr(f1, f2)))
+    pyramid = tuple(
+        corr_mod.build_pyramid_lanes(corr_mod.all_pairs_corr_lanes(f1, f2))
+    )
     corr_feat = corr_mod.lookup_pyramid(pyramid, coords0)
     bf = jnp.bfloat16
     _, delta, _ = update_apply(

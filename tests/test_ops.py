@@ -186,3 +186,22 @@ def test_depth_filter_outlier_rejected():
         poses, disps, intr, jnp.arange(N), jnp.full((N,), 0.05)
     )
     assert float(np.asarray(counts[3]).mean()) < 0.5
+
+
+def test_pallas_lookup_matches_separable_interpret():
+    """Pallas kernel (interpret mode) vs the separable reference."""
+    import jax
+    from glorie_slam_tpu.ops import pallas_corr
+
+    rng = np.random.default_rng(11)
+    E, npix, hl, wl = 2, 256, 12, 20
+    plane = jnp.asarray(rng.normal(size=(E, npix, hl, wl)), jnp.float32)
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-3, wl + 2, (E, npix)),
+                  rng.uniform(-3, hl + 2, (E, npix))], -1), jnp.float32
+    )
+    a = np.asarray(corr.lookup_separable(plane, coords))
+    b = np.asarray(pallas_corr.lookup_pallas(
+        plane.transpose(0, 2, 3, 1), coords, interpret=True
+    ))
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)  # bf16 plane
