@@ -395,7 +395,10 @@ class FactorGraph:
 
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
                               thresh=16.0, remove=False):
-        """Distance-sorted greedy proposal with NMS (factor_graph.py:323-383)."""
+        """Distance-sorted greedy proposal with NMS (factor_graph.py:323-383).
+
+        The greedy NMS sweep runs in the native C++ extension when available
+        (glorie_slam_tpu/native), falling back to the Python loops."""
         t = self.video.counter
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
@@ -404,6 +407,21 @@ class FactorGraph:
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
         d = self.video.distance(ii, jj, beta=beta).copy()
+
+        from .. import native
+
+        nat = native.proximity_edges(
+            d.reshape(len(ix), len(jx)), t0, t1, t, rad, nms, thresh,
+            self.max_factors,
+            np.concatenate([self.ii, self.ii_bad, self.ii_inac]),
+            np.concatenate([self.jj, self.jj_bad, self.jj_inac]),
+        )
+        if nat is not None:
+            n_ii, n_jj = nat
+            if len(n_ii):
+                self.add_factors(n_ii, n_jj, remove)
+            return
+
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
         d2 = d.reshape(len(ix), len(jx))
@@ -462,6 +480,20 @@ class FactorGraph:
         ii, jj = ii.reshape(-1), jj.reshape(-1)
         d = self.video.distance(ii, jj, beta=beta).copy()
         rawd = d.copy().reshape(ilen, jlen)
+
+        from .. import native
+
+        nat = native.backend_proximity_edges(
+            d.reshape(ilen, jlen), rawd, t_start, t_end, t_start_loop,
+            nms, radius, thresh, max_factors, loop,
+        )
+        if nat is not None:
+            n_ii, n_jj = nat
+            if len(n_ii) < 3:
+                return 0
+            self.add_factors(n_ii, n_jj, remove=True)
+            return len(self.ii)
+
         d[ii - radius < jj] = np.inf
         d[d > thresh] = np.inf
         d = d.reshape(ilen, jlen)
