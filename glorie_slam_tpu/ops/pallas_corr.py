@@ -48,7 +48,9 @@ def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd):
     # The hat function centered at the FRACTIONAL sample position realizes
     # bilinear interpolation: weight (1-frac) at floor, frac at floor+1,
     # zero outside the plane (the CUDA tap-drop rule).
-    # stage 1: for each y-offset b, lerp rows -> tmp_b (wl, PLANE)
+    # stage 1: for each y-offset b, lerp rows -> tmp_b (wl, PLANE).
+    # (f32 multiply-accumulate; a bf16 product + f32 convert measured
+    # SLOWER — the conversion materializes and defeats the fused reduce.)
     plane = plane_ref[0].astype(jnp.float32)    # (hl, wl, PLANE)
     tmps = []
     for b in range(rd):

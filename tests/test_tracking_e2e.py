@@ -132,3 +132,32 @@ def test_full_tracker_smoke(stream, tmp_path):
     # eval artifacts (kf + full trajectory metrics)
     assert os.path.exists(f"{out}/traj/metrics_kf_traj.txt")
     assert os.path.exists(f"{out}/traj/metrics_full_traj.txt")
+
+
+def test_backend_dense_ba_runs(stream):
+    """Global BA (update_lowmem + alt-corr chunks) over oracle-seeded state."""
+    from glorie_slam_tpu.nets.tracker_net import TrackerNet
+    from glorie_slam_tpu.tracking.backend import Backend
+
+    cfg = base_cfg(H=64, W=96, buffer=16)
+    video = DepthVideo(cfg)
+    tn = TrackerNet(seed=1)
+    rng = np.random.default_rng(0)
+    n = 8
+    for t in range(n):
+        d8 = stream.depths[t][3::8, 3::8]
+        video.append(
+            t, jnp.asarray((stream.frames[t] * 255).astype(np.uint8)),
+            jnp.asarray(stream.poses_w2c[t]),
+            jnp.asarray(1.0 / d8),
+            None, stream.intrinsics / 8.0,
+            jnp.asarray(rng.normal(size=(8, 12, 128)) * 0.1),
+            jnp.asarray(rng.normal(size=(8, 12, 128)) * 0.1),
+            jnp.asarray(rng.normal(size=(8, 12, 128)) * 0.1),
+        )
+    backend = Backend(tn, video, cfg)
+    n_kf, n_edges = backend.dense_ba(steps=2, enable_wq=False)
+    assert n_kf == n
+    assert n_edges > 0
+    assert np.all(np.isfinite(np.asarray(video.poses[:n])))
+    assert np.all(np.isfinite(np.asarray(video.disps[:n])))
