@@ -161,3 +161,77 @@ def test_backend_dense_ba_runs(stream):
     assert n_edges > 0
     assert np.all(np.isfinite(np.asarray(video.poses[:n])))
     assert np.all(np.isfinite(np.asarray(video.disps[:n])))
+
+
+def test_dspo_depth_scale_dispatch(stream):
+    """The DSPO stage-2 path through DepthVideo.ba (align mono scale/shift,
+    multiview mask refresh, ba_scale_shift) on oracle state with mono priors."""
+    cfg = base_cfg(H=64, W=96, buffer=16)
+    cfg["tracking"]["backend"]["BA_type"] = "DSPO"
+    cfg["tracking"]["mono_thres"] = 0.1
+    video = DepthVideo(cfg)
+    rng = np.random.default_rng(2)
+    n = 8
+    scale_gt, shift_gt = 1.7, 0.05
+    for t in range(n):
+        d8 = stream.depths[t][3::8, 3::8]
+        # mono depth consistent with gt up to a global scale/shift in
+        # DISPARITY space: disp_gt = scale*mono_disp + shift
+        mono_depth = 1.0 / ((1.0 / stream.depths[t] - shift_gt) / scale_gt)
+        video.append(
+            t, jnp.asarray((stream.frames[t] * 255).astype(np.uint8)),
+            jnp.asarray(stream.poses_w2c[t]),
+            jnp.asarray(1.0 / d8),
+            jnp.asarray(mono_depth),
+            stream.intrinsics / 8.0,
+            jnp.zeros((8, 12, 128)), jnp.zeros((8, 12, 128)),
+            jnp.zeros((8, 12, 128)),
+        )
+    graph = OracleGraph(video, stream, corr_impl="none", max_factors=96)
+    graph.add_neighborhood_factors(0, n, r=3)
+    # alternate pose_depth / depth_scale exactly like the frontend
+    for itr in range(8):
+        opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
+        graph.update(1, opt_type=opt_type)
+
+    disps = np.asarray(video.disps[:n])
+    assert np.all(np.isfinite(disps)) and np.all(disps > 0)
+    scales = np.asarray(video.depth_scale[:n])
+    # per-frame scale estimates should approach the generating value
+    assert np.all(np.isfinite(scales))
+    assert abs(np.median(scales) - scale_gt) < 0.5, scales
+    # poses still converge with DSPO alternation
+    est_c2w = np.asarray(lie.to_matrix(lie.inv(video.poses[:n])))
+    gt_c2w = np.stack([np.asarray(p) for p in stream.poses[:n]])
+    rmse, _, _ = alignment.ate_rmse(est_c2w[:, :3, 3], gt_c2w[:, :3, 3])
+    assert rmse < 0.05, rmse
+
+
+def test_rm_keyframe_shifts_state(stream):
+    """Keyframe culling shifts video state down and remaps edges
+    (reference factor_graph.py:173-209)."""
+    cfg = base_cfg(H=64, W=96, buffer=16)
+    video = DepthVideo(cfg)
+    n = 6
+    for t in range(n):
+        video.append(
+            t, jnp.asarray((stream.frames[t] * 255).astype(np.uint8)),
+            jnp.asarray(stream.poses_w2c[t]),
+            jnp.asarray(1.0 / stream.depths[t][3::8, 3::8]),
+            None, stream.intrinsics / 8.0,
+            jnp.zeros((8, 12, 128)), jnp.zeros((8, 12, 128)),
+            jnp.zeros((8, 12, 128)),
+        )
+    graph = OracleGraph(video, stream, corr_impl="none", max_factors=96)
+    graph.add_factors(np.array([0, 2, 3, 4]), np.array([1, 3, 2, 5]))
+    ts_before = np.asarray(video.timestamp[:n]).copy()
+    graph.rm_keyframe(3)
+    video.counter -= 1
+    # frame 4's state moved into slot 3
+    np.testing.assert_allclose(float(video.timestamp[3]), ts_before[4])
+    # edges touching 3 removed; edges above 3 shifted down
+    pairs = set(zip(graph.ii.tolist(), graph.jj.tolist()))
+    assert (0, 1) in pairs
+    assert (3, 4) in pairs          # was (4, 5)
+    assert all(3 not in p or p == (3, 4) for p in pairs)
+    assert len(pairs) == 2          # (2,3)/(3,2) dropped
