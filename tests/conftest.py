@@ -6,7 +6,7 @@ process so sharding tests see 8 devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Single-core CI box: persistent compilation cache makes re-runs fast.
 import jax  # noqa: E402
+
+# sitecustomize may have imported jax at interpreter startup with the
+# platform list pinned to the TPU plugin — the env var alone is then
+# ignored; force the config in-process too.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
