@@ -9,6 +9,7 @@ import numpy as np
 
 from ..core.factor_graph import FactorGraph
 from .backend import Backend
+from .fused import graph_update_rounds
 
 
 class Frontend:
@@ -52,9 +53,9 @@ class Frontend:
             thresh=self.frontend_thresh, beta=self.beta, remove=True,
         )
 
-        for itr in range(self.iters1):
-            opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
-            self.graph.update(None, None, use_inactive=True, opt_type=opt_type)
+        # all iters1 DSPO rounds (pose_depth/depth_scale alternation) run as
+        # ONE fused jit program (reference hot loop, frontend.py:50-53)
+        graph_update_rounds(self.graph, self.iters1, use_inactive=True)
 
         d = self.video.distance(
             [self.t1 - 2], [self.t1 - 1], beta=self.beta, bidirectional=True
@@ -75,11 +76,8 @@ class Frontend:
                 ran_loop = n_edge > 0
                 self.last_loop_t = cur_t
             if not ran_loop:
-                for itr in range(self.iters2):
-                    opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
-                    self.graph.update(
-                        t0=None, t1=None, use_inactive=True, opt_type=opt_type
-                    )
+                graph_update_rounds(self.graph, self.iters2,
+                                    use_inactive=True)
 
         # seed the next pose/disp (frontend.py:81-82)
         v = self.video
@@ -91,13 +89,13 @@ class Frontend:
         """Bootstrap on the first `warmup` keyframes (frontend.py:88-117)."""
         self.t1 = self.video.counter
         self.graph.add_neighborhood_factors(0, self.t1, r=3)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+        graph_update_rounds(self.graph, 8, t0=1, use_inactive=True,
+                            alternate=False)
         self.graph.add_proximity_factors(
             0, 0, rad=2, nms=2, thresh=self.frontend_thresh, remove=False
         )
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+        graph_update_rounds(self.graph, 8, t0=1, use_inactive=True,
+                            alternate=False)
 
         v = self.video
         v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])

@@ -1,0 +1,305 @@
+"""Fused DSPO frontend rounds: K alternating GRU+BA iterations in ONE jit.
+
+The reference frontend runs 8 update iterations per accepted keyframe
+(src/frontend.py:50-53), each a separate CUDA-stream round trip; round 1 of
+this rebuild mirrored that with 8 jit dispatches plus host syncs per
+keyframe. Here the whole loop is a single ``lax.scan`` over rounds whose
+body dispatches pose_depth / depth_scale via ``lax.cond`` on a per-round
+flag, so one compiled program covers every alternation pattern and XLA can
+pipeline the GRU update into the BA solve.
+
+Semantics parity (vs core/factor_graph.FactorGraph.update +
+core/depth_video.DepthVideo.ba, themselves rebuilt from reference
+factor_graph.py:213-257 / depth_video.py:198-298):
+  * damping is refreshed from GraphAgg eta per round before BA;
+  * BA runs over inactive + active edges; active target/weight come from
+    the current round's GRU output;
+  * depth_scale rounds refresh the 1/8-res multiview validity mask, realign
+    per-frame mono scale/shift, apply the mono_thres edge filter (masked
+    instead of dropped — identical algebra since BA zero-weights masked
+    edges), and fall back to pose_depth when no edge survives;
+  * disparities are floored at 1e-5 after every solve.
+The only intended deviation: convex upsampling runs ONCE after the final
+round instead of every round — intermediate upsamples are dead writes (each
+overwrites the last; only the final state is ever read).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.factor_graph import _graph_update_step
+from ..geom import alignment, ba as ba_mod
+from ..ops import depth_filter as df_mod
+from ..utils.buckets import bucket
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "update_apply", "num_frames", "n_kx", "P_max", "K_pd", "Dmax",
+        "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
+        "mono_thres", "lm", "ep", "EP",
+    ),
+)
+def dspo_rounds(update_apply, params,
+                poses, disps, intrinsics, zeros, mono_disps,
+                depth_scale, depth_shift, vmask_small, damping,
+                pyramid, net, inp, target, ii_act, jj_act, kk, edge_mask,
+                coords0, kx,
+                tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask,
+                ba_frame_mask, is_ds_flags,
+                t0, t1, kbase_pd, counter,
+                *, num_frames: int, n_kx: int, P_max: int, K_pd: int,
+                Dmax: int, K_ds: int, M_cur: int, ba_iters: int = 2,
+                mv_thresh: float = 0.01, visible_num: int = 2,
+                mono_thres: float = 0.0, lm: float = 1e-4, ep: float = 0.1,
+                EP: float = 1e-7):
+    """Run ``len(is_ds_flags)`` fused DSPO rounds; see module docstring.
+
+    Active-edge arrays are padded to E_pad (edge_mask marks real edges);
+    the BA edge set is [inactive block | active block] with ii/jj = -1 on
+    padding. ``adj``/``adj_mask`` index into that combined layout.
+    Returns (poses, disps, net, target, weight, damping, depth_scale,
+    depth_shift, vmask_small, upmask).
+    """
+    Nbuf, h8, w8 = disps.shape
+    npix = h8 * w8
+    t0 = jnp.asarray(t0, jnp.int32)
+    t1 = jnp.asarray(t1, jnp.int32)
+    counter = jnp.asarray(counter, jnp.int32)
+
+    def round_body(carry, is_ds):
+        (poses, disps, net, target, _w, damping, dsc, dsh, vm, _um) = carry
+
+        net2, target2, weight2, eta_agg, upmask, _ = _graph_update_step(
+            update_apply, params, poses, disps, intrinsics, pyramid, net,
+            inp, target, ii_act, jj_act, kk, edge_mask, coords0,
+            num_frames=num_frames,
+        )
+        weight2 = weight2 * edge_mask[:, None, None, None]
+        damping = damping.at[kx].set(eta_agg[:n_kx])
+        eta_val = 0.2 * damping + EP
+        eta_full = jnp.where(ba_frame_mask[:, None, None], eta_val, 1e-7)
+        tgt_comb = jnp.concatenate([tgt_inac, target2], 0)
+        wgt_comb = jnp.concatenate([wgt_inac, weight2], 0)
+
+        def run_pd(poses, disps, wgt, eta_f):
+            p2, d2 = ba_mod.ba(
+                poses, disps, intrinsics, tgt_comb, wgt, eta_f, zeros,
+                ii_ba, jj_ba, adj, adj_mask, t0, t1, kbase_pd,
+                P_max=P_max, K_max=K_pd, Dmax=Dmax, iters=ba_iters,
+                lm=lm, ep=ep,
+            )
+            return p2, jnp.maximum(d2, 1e-5)
+
+        def pd_branch(poses, disps, dsc, dsh, vm):
+            p2, d2 = run_pd(poses, disps, wgt_comb, eta_full)
+            return p2, d2, dsc, dsh, vm
+
+        def ds_branch(poses, disps, dsc, dsh, vm):
+            # -- refresh 1/8-res multiview validity (depth_video.py:326-361)
+            i_ar = jnp.arange(M_cur, dtype=jnp.int32)
+            idx = jnp.where(i_ar < counter, i_ar, 0)
+            sel = disps[idx]
+            depths = 1.0 / jnp.maximum(sel, 1e-8)
+            thr = mv_thresh * jnp.mean(depths, axis=(1, 2))
+            counts = df_mod.depth_filter(poses, disps, intrinsics, idx, thr)
+            multiview = counts >= visible_num
+            dm = jnp.where(multiview, depths, jnp.nan)
+            med = jnp.nanmedian(dm.reshape(M_cur, -1), axis=1)
+            masks = multiview & (depths < 3 * med[:, None, None])
+            vm = vm.at[idx].set(masks)
+
+            # -- per-frame mono scale/shift init (depth_video.py:222-292)
+            mono = mono_disps[idx]
+            est = disps[idx]
+            valid = vm[idx].astype(jnp.float32)
+            scale_t, shift_t, error_t = alignment.align_scale_and_shift(
+                mono, est, valid)
+            okf = jnp.isfinite(scale_t) & jnp.isfinite(shift_t)
+            scale_t = jnp.where(okf, scale_t, 1.0)
+            shift_t = jnp.where(okf, shift_t, 0.0)
+            dsc = dsc.at[idx].set(scale_t)
+            dsh = dsh.at[idx].set(shift_t)
+
+            # -- mono_thres edge filter (depth_video.py:294-320), masked
+            if mono_thres:
+                avg = jnp.mean(est, axis=(1, 2))
+                vs = jnp.sum(valid, axis=(1, 2))
+                bad_w = ((error_t / avg > mono_thres)
+                         | ~jnp.isfinite(error_t)
+                         | (scale_t < 0)
+                         | (vs < 0.5 * npix))
+                bad = jnp.zeros((Nbuf,), bool).at[idx].set(bad_w)
+                keep_e = ((ii_ba >= 0)
+                          & ~bad[jnp.maximum(ii_ba, 0)]
+                          & ~bad[jnp.maximum(jj_ba, 0)])
+            else:
+                keep_e = ii_ba >= 0
+            any_keep = jnp.sum(keep_e) > 0
+            ii_ds = jnp.where(keep_e, ii_ba, -1)
+            wgt_ds = wgt_comb * keep_e[:, None, None, None].astype(
+                wgt_comb.dtype)
+            haskept = (jnp.zeros((Nbuf,), jnp.float32)
+                       .at[jnp.maximum(ii_ds, 0)]
+                       .add(keep_e.astype(jnp.float32))) > 0
+            eta_ds = jnp.where(haskept[:, None, None], eta_val, 1e-7)
+            kbase_ds = jnp.min(jnp.where(keep_e, ii_ds, Nbuf))
+            kbase_ds = jnp.clip(kbase_ds, 0, Nbuf - K_ds)
+
+            def ds_inner(args):
+                poses, disps, dsc, dsh = args
+                d2, sc2, sh2 = ba_mod.ba_scale_shift(
+                    poses, disps, intrinsics, tgt_comb, wgt_ds, eta_ds,
+                    mono_disps, dsc, dsh, vm, ii_ds, jj_ba, None, kbase_ds,
+                    K_max=K_ds, iters=ba_iters, lm=lm, ep=ep, alpha=0.01,
+                )
+                return poses, jnp.maximum(d2, 1e-5), sc2, sh2
+
+            def ds_fallback(args):
+                poses, disps, dsc, dsh = args
+                p2, d2 = run_pd(poses, disps, wgt_comb, eta_full)
+                return p2, d2, dsc, dsh
+
+            poses, disps, dsc, dsh = jax.lax.cond(
+                any_keep & (counter > 0), ds_inner, ds_fallback,
+                (poses, disps, dsc, dsh),
+            )
+            return poses, disps, dsc, dsh, vm
+
+        poses, disps, dsc, dsh, vm = jax.lax.cond(
+            is_ds > 0,
+            lambda a: ds_branch(*a),
+            lambda a: pd_branch(*a),
+            (poses, disps, dsc, dsh, vm),
+        )
+        carry = (poses, disps, net2, target2, weight2, damping, dsc, dsh,
+                 vm, upmask)
+        return carry, ()
+
+    upmask0 = jnp.zeros((num_frames, h8, w8, 8 * 8 * 9), jnp.float32)
+    weight0 = jnp.zeros_like(target)
+    carry0 = (poses, disps, net, target, weight0, damping,
+              depth_scale, depth_shift, vmask_small, upmask0)
+    carry, _ = jax.lax.scan(round_body, carry0, is_ds_flags)
+    (poses, disps, net, target, weight, damping, dsc, dsh, vm, um) = carry
+    return poses, disps, net, target, weight, damping, dsc, dsh, vm, um
+
+
+def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
+                        use_inactive=True, EP=1e-7, alternate=True):
+    """Host wrapper: assemble padded state once, run ``rounds`` fused DSPO
+    iterations, write results back into the graph/video.
+
+    Drop-in equivalent of ``rounds`` sequential FactorGraph.update calls with
+    alternating opt_type (pose_depth on even rounds) when ``alternate`` and
+    the video's BA_type is DSPO; pure pose_depth otherwise.
+    """
+    if len(graph.ii) == 0:
+        return
+    v = graph.video
+    E = len(graph.ii)
+    E_pad = bucket(E)
+    net, inp, target, ii_p, jj_p, pyramid = graph._pad_edge_arrays(E_pad)
+
+    kx, kk = np.unique(graph.ii, return_inverse=True)
+    M_pad = bucket(len(kx))
+    kk_p = np.concatenate(
+        [kk, np.full(E_pad - E, M_pad - 1)]).astype(np.int32)
+    edge_mask = jnp.asarray(
+        np.concatenate([np.ones(E), np.zeros(E_pad - E)]).astype(np.float32))
+
+    if t0 is None:
+        t0 = max(1, int(graph.ii.min()) + 1)
+
+    if use_inactive:
+        m = (graph.ii_inac >= t0 - 3) & (graph.jj_inac >= t0 - 3)
+        ii_in = graph.ii_inac[m]
+        jj_in = graph.jj_inac[m]
+        tgt_in = graph.target_inac[jnp.asarray(m)]
+        wgt_in = graph.weight_inac[jnp.asarray(m)]
+    else:
+        ii_in = np.zeros(0, np.int64)
+        jj_in = np.zeros(0, np.int64)
+        tgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
+        wgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
+
+    EI = len(ii_in)
+    EI_pad = bucket(EI) if EI else 0
+    if EI_pad:
+        padi = EI_pad - EI
+        ii_in_p = np.concatenate([ii_in, -np.ones(padi, np.int64)])
+        jj_in_p = np.concatenate([jj_in, -np.ones(padi, np.int64)])
+        tgt_in = jnp.concatenate(
+            [tgt_in, jnp.zeros((padi,) + tgt_in.shape[1:], tgt_in.dtype)], 0)
+        wgt_in = jnp.concatenate(
+            [wgt_in, jnp.zeros((padi,) + wgt_in.shape[1:], wgt_in.dtype)], 0)
+    else:
+        ii_in_p = np.zeros(0, np.int64)
+        jj_in_p = np.zeros(0, np.int64)
+
+    ii_ba = np.concatenate([ii_in_p, ii_p.astype(np.int64)]).astype(np.int32)
+    jj_ba = np.concatenate([jj_in_p, jj_p.astype(np.int64)]).astype(np.int32)
+    EB = len(ii_ba)
+
+    comb_ii = np.concatenate([ii_in, graph.ii])
+    comb_jj = np.concatenate([jj_in, graph.jj])
+    if t1 is None:
+        t1 = int(max(comb_ii.max(), comb_jj.max())) + 1
+
+    kbase_pd = int(min(comb_ii.min(), t0))
+    K_pd = min(bucket(max(t1 - kbase_pd, 1)), v.buffer)
+    kbase_pd = min(kbase_pd, v.buffer - K_pd)
+    P_max = bucket(max(t1 - t0, 1))
+    deg = int(np.bincount(comb_ii - kbase_pd, minlength=1).max())
+    Dmax = bucket(deg)
+    adj, adj_mask = ba_mod.build_adjacency(ii_ba, EB, kbase_pd, K_pd, Dmax)
+
+    ba_frame_mask = np.zeros(v.buffer, bool)
+    ba_frame_mask[np.unique(comb_ii)] = True
+
+    K_ds = min(bucket(int(comb_ii.max()) + 1 - int(comb_ii.min())), v.buffer)
+    M_cur = bucket(max(v.counter, 1))
+
+    dspo_on = (v.BA_type == "DSPO") and alternate and v.counter > 0
+    flags = np.array(
+        [1 if (dspo_on and r % 2 == 1) else 0 for r in range(rounds)],
+        np.int32,
+    )
+
+    mv = v.cfg["tracking"]["multiview_filter"]
+    mono_thres = v.mono_thres if v.mono_thres else 0.0
+
+    out = dspo_rounds(
+        graph.update_apply, graph.params,
+        v.poses, v.disps, v.intrinsics, v.zeros, v.mono_disps,
+        v.depth_scale, v.depth_shift, v.valid_depth_mask_small,
+        graph.damping,
+        pyramid, net, inp, target,
+        jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p), edge_mask,
+        graph.coords0, jnp.asarray(kx.astype(np.int32)),
+        tgt_in, wgt_in, jnp.asarray(ii_ba), jnp.asarray(jj_ba),
+        jnp.asarray(adj), jnp.asarray(adj_mask),
+        jnp.asarray(ba_frame_mask), jnp.asarray(flags),
+        t0, t1, kbase_pd, v.counter,
+        num_frames=M_pad, n_kx=len(kx), P_max=P_max, K_pd=K_pd, Dmax=Dmax,
+        K_ds=K_ds, M_cur=M_cur, ba_iters=itrs,
+        mv_thresh=float(mv["thresh"]), visible_num=int(mv["visible_num"]),
+        mono_thres=float(mono_thres), lm=1e-4, ep=0.1, EP=EP,
+    )
+    (poses, disps, net2, target2, weight2, damping, dsc, dsh, vm, um) = out
+
+    v.poses = poses
+    v.disps = disps
+    v.depth_scale = dsc
+    v.depth_shift = dsh
+    v.valid_depth_mask_small = vm
+    graph.damping = damping
+    graph.net = net2[:E]
+    graph.target = target2[:E]
+    graph.weight = weight2[:E]
+    v.upsample(kx, um[: len(kx)])
+    graph.age += rounds
