@@ -73,6 +73,9 @@ class FactorGraph:
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
+        # bumped on any edge-set or per-edge-state mutation; the fused-rounds
+        # wrapper (tracking/fused.py) keys its padded-state cache on this
+        self.version = 0
         self.corr: Optional[corr_mod.CorrBlock] = None
         self.net = None      # (E, h8, w8, 128)
         self.inp = None      # (E, h8, w8, 128)
@@ -106,6 +109,7 @@ class FactorGraph:
 
     def add_factors(self, ii, jj, remove=False):
         """Add edges (reference factor_graph.py:97-143)."""
+        self.version += 1
         ii = np.asarray(ii, np.int64).reshape(-1)
         jj = np.asarray(jj, np.int64).reshape(-1)
         ii, jj = self._filter_repeated_edges(ii, jj)
@@ -152,6 +156,7 @@ class FactorGraph:
     def rm_factors(self, mask, store=False):
         """Remove edges; optionally store into the inactive pool
         (reference factor_graph.py:146-170)."""
+        self.version += 1
         mask = np.asarray(mask, bool)
         if mask.sum() == 0:
             return
@@ -182,6 +187,7 @@ class FactorGraph:
     def rm_keyframe(self, ix):
         """Drop keyframe ix: shift video state, remap edges
         (reference factor_graph.py:173-209)."""
+        self.version += 1
         self.video.remove_keyframe(ix)
 
         m = (self.ii_inac == ix) | (self.jj_inac == ix)
@@ -208,6 +214,7 @@ class FactorGraph:
         self.rm_factors(mask, store=False)
 
     def clear_edges(self):
+        self.version += 1
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
@@ -240,6 +247,7 @@ class FactorGraph:
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
                motion_only=False, opt_type="pose_depth"):
         """One GRU + BA update (reference factor_graph.py:213-257)."""
+        self.version += 1
         if len(self.ii) == 0:
             return
         v = self.video
@@ -295,6 +303,7 @@ class FactorGraph:
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8,
                       EP=1e-7, enable_wq=True):
+        self.version += 1
         """Memory-light backend update: on-the-fly correlation, edges
         processed in source-frame chunks (reference factor_graph.py:259-309).
         """

@@ -28,35 +28,71 @@ RADIUS = 3
 PLANE = 128   # pixels per grid step (lane width)
 
 
-def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd):
+def _row_pass(plane, y, nrows, rd, row0=None):
+    """Stage 1 over ``nrows`` rows: tmp_b = Σ_h plane[h] · hat(h - (y-R+b)).
+
+    plane: (nrows, wl, PLANE) f32; y: (1, PLANE); row0: scalar row offset of
+    plane[0] in the full grid (None = 0). Returns (rd, wl, PLANE).
+    """
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0).astype(
+        jnp.float32
+    )
+    if row0 is not None:
+        h_iota = h_iota + row0.astype(jnp.float32)
+    tmps = []
+    for b in range(rd):
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(h_iota - (y - RADIUS + b)))
+        tmps.append(jnp.sum(plane * wgt[:, None, :], axis=0))
+    return jnp.stack(tmps, axis=0)
+
+
+def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd, band):
     """Grid step: one edge x PLANE pixels.
 
     coords_ref: (1, 2, PLANE) f32 — [x; y] for the pixel block.
     plane_ref:  (1, hl, wl, PLANE) bf16 — correlation planes, pixel-minor.
     out_ref:    (1, rd*rd, PLANE) f32 — out[s, p] with s = a*rd + b.
+
+    The hat function centered at the FRACTIONAL sample position realizes
+    bilinear interpolation: weight (1-frac) at floor, frac at floor+1, zero
+    outside the plane (the CUDA tap-drop rule). Stage 1 reduces rows; since
+    the 128 pixels of a tile are raster-contiguous their window rows nearly
+    coincide, so when a ``band``-row slab covers [min(y)-R, max(y)+R+1] we
+    reduce only that slab (dynamic sublane slice — exact, not approximate:
+    rows outside the covered slab provably have zero hat weight). A
+    full-plane fallback keeps arbitrary flow correct.
+    (f32 multiply-accumulate; a bf16 product + f32 convert measured SLOWER —
+    the conversion materializes and defeats the fused reduce.)
     """
     x = coords_ref[0, 0, :][None, :]            # (1, PLANE)
     y = coords_ref[0, 1, :][None, :]
 
-    h_iota = jax.lax.broadcasted_iota(jnp.int32, (hl, 1), 0).astype(
-        jnp.float32
-    )
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (wl, 1), 0).astype(
         jnp.float32
     )
 
-    # The hat function centered at the FRACTIONAL sample position realizes
-    # bilinear interpolation: weight (1-frac) at floor, frac at floor+1,
-    # zero outside the plane (the CUDA tap-drop rule).
-    # stage 1: for each y-offset b, lerp rows -> tmp_b (wl, PLANE).
-    # (f32 multiply-accumulate; a bf16 product + f32 convert measured
-    # SLOWER — the conversion materializes and defeats the fused reduce.)
-    plane = plane_ref[0].astype(jnp.float32)    # (hl, wl, PLANE)
-    tmps = []
-    for b in range(rd):
-        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(h_iota - (y - RADIUS + b)))
-        tmp = jnp.sum(plane * wgt[:, None, :], axis=0)      # (wl, PLANE)
-        tmps.append(tmp)
+    if band is not None and band < hl:
+        y_min = jnp.min(y)
+        y_max = jnp.max(y)
+        ybase = jnp.clip(
+            jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band
+        )
+        # rows needed: [floor(min)-R, floor(max)+R+1]; covered iff the top
+        # row fits inside the slab (ybase already covers the bottom, up to
+        # the clamp at 0 where nonexistent rows have zero weight anyway)
+        top = jnp.floor(y_max) + (RADIUS + 1)
+        covered = top <= (ybase + band - 1).astype(jnp.float32)
+
+        def slab(_):
+            p = plane_ref[0, pl.ds(ybase, band)].astype(jnp.float32)
+            return _row_pass(p, y, band, rd, row0=ybase)
+
+        def full(_):
+            return _row_pass(plane_ref[0].astype(jnp.float32), y, hl, rd)
+
+        tmps = jax.lax.cond(covered, slab, full, None)
+    else:
+        tmps = _row_pass(plane_ref[0].astype(jnp.float32), y, hl, rd)
 
     # stage 2: for each x-offset a, lerp the row-interpolated columns
     for a in range(rd):
@@ -66,9 +102,12 @@ def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd):
             out_ref[0, a * rd + b, :] = val
 
 
-@partial(jax.jit, static_argnames=("radius", "interpret"))
+BAND = 16  # stage-1 row slab (see _lookup_kernel); None disables
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret", "band"))
 def lookup_pallas(plane_lanes, coords, radius: int = RADIUS,
-                  interpret: bool = False):
+                  interpret: bool = False, band: int = BAND):
     """Windowed bilinear lookup via the Pallas kernel.
 
     plane_lanes: (E, hl, wl, npix) correlation planes, PIXEL-MINOR layout
@@ -89,7 +128,7 @@ def lookup_pallas(plane_lanes, coords, radius: int = RADIUS,
 
     n_tiles = npix // PLANE
     out = pl.pallas_call(
-        partial(_lookup_kernel, hl=hl, wl=wl, rd=rd),
+        partial(_lookup_kernel, hl=hl, wl=wl, rd=rd, band=band),
         grid=(E, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 2, PLANE), lambda e, t: (e, 0, t),

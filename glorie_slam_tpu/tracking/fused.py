@@ -189,17 +189,69 @@ def dspo_rounds(update_apply, params,
     return poses, disps, net, target, weight, damping, dsc, dsh, vm, um
 
 
-def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
-                        use_inactive=True, EP=1e-7, alternate=True):
-    """Host wrapper: assemble padded state once, run ``rounds`` fused DSPO
-    iterations, write results back into the graph/video.
+@partial(
+    jax.jit,
+    static_argnames=(
+        "update_apply", "num_frames", "n_kx", "P_max", "K_pd", "Dmax",
+        "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
+        "mono_thres", "lm", "ep", "EP", "E_pad", "EB",
+    ),
+)
+def _dspo_rounds_packed(update_apply, params,
+                        poses, disps, intrinsics, zeros, mono_disps,
+                        depth_scale, depth_shift, vmask_small, damping,
+                        pyramid, net, inp, target, tgt_inac, wgt_inac,
+                        coords0, ints, floats, is_ds_flags, counter,
+                        *, E_pad: int, EB: int, num_frames: int, n_kx: int,
+                        P_max: int, K_pd: int, Dmax: int, K_ds: int,
+                        M_cur: int, ba_iters: int, mv_thresh: float,
+                        visible_num: int, mono_thres: float, lm: float,
+                        ep: float, EP: float):
+    """dspo_rounds with the small per-version arrays packed into ONE int32
+    and ONE float32 vector — a single upload each instead of ~10 (the
+    per-transfer latency of a remote device transport dominates otherwise).
 
-    Drop-in equivalent of ``rounds`` sequential FactorGraph.update calls with
-    alternating opt_type (pose_depth on even rounds) when ``alternate`` and
-    the video's BA_type is DSPO; pure pose_depth otherwise.
+    ints layout:  [ii_act | jj_act | kk | kx | ii_ba | jj_ba | adj | t0, t1,
+                   kbase_pd];  floats: [edge_mask | adj_mask | ba_frame_mask].
     """
-    if len(graph.ii) == 0:
-        return
+    o = 0
+
+    def take(n):
+        nonlocal o
+        v = jax.lax.slice(ints, (o,), (o + n,))
+        o += n
+        return v
+
+    ii_act = take(E_pad)
+    jj_act = take(E_pad)
+    kk = take(E_pad)
+    kx = take(n_kx)
+    ii_ba = take(EB)
+    jj_ba = take(EB)
+    adj = take(K_pd * Dmax).reshape(K_pd, Dmax)
+    t0, t1, kbase_pd = take(1)[0], take(1)[0], take(1)[0]
+
+    edge_mask = jax.lax.slice(floats, (0,), (E_pad,))
+    adj_mask = jax.lax.slice(
+        floats, (E_pad,), (E_pad + K_pd * Dmax,)).reshape(K_pd, Dmax)
+    ba_frame_mask = jax.lax.slice(
+        floats, (E_pad + K_pd * Dmax,),
+        (E_pad + K_pd * Dmax + poses.shape[0],)) > 0
+
+    return dspo_rounds(
+        update_apply, params, poses, disps, intrinsics, zeros, mono_disps,
+        depth_scale, depth_shift, vmask_small, damping, pyramid, net, inp,
+        target, ii_act, jj_act, kk, edge_mask, coords0, kx,
+        tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask, ba_frame_mask,
+        is_ds_flags, t0, t1, kbase_pd, counter,
+        num_frames=num_frames, n_kx=n_kx, P_max=P_max, K_pd=K_pd, Dmax=Dmax,
+        K_ds=K_ds, M_cur=M_cur, ba_iters=ba_iters, mv_thresh=mv_thresh,
+        visible_num=visible_num, mono_thres=mono_thres, lm=lm, ep=ep, EP=EP,
+    )
+
+
+def _assemble(graph, t0_arg, t1_arg, use_inactive):
+    """Build the per-version padded device state + packed uploads."""
     v = graph.video
     E = len(graph.ii)
     E_pad = bucket(E)
@@ -209,11 +261,10 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     M_pad = bucket(len(kx))
     kk_p = np.concatenate(
         [kk, np.full(E_pad - E, M_pad - 1)]).astype(np.int32)
-    edge_mask = jnp.asarray(
-        np.concatenate([np.ones(E), np.zeros(E_pad - E)]).astype(np.float32))
+    edge_mask = np.concatenate(
+        [np.ones(E), np.zeros(E_pad - E)]).astype(np.float32)
 
-    if t0 is None:
-        t0 = max(1, int(graph.ii.min()) + 1)
+    t0 = t0_arg if t0_arg is not None else max(1, int(graph.ii.min()) + 1)
 
     if use_inactive:
         m = (graph.ii_inac >= t0 - 3) & (graph.jj_inac >= t0 - 3)
@@ -247,8 +298,8 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
 
     comb_ii = np.concatenate([ii_in, graph.ii])
     comb_jj = np.concatenate([jj_in, graph.jj])
-    if t1 is None:
-        t1 = int(max(comb_ii.max(), comb_jj.max())) + 1
+    t1 = (t1_arg if t1_arg is not None
+          else int(max(comb_ii.max(), comb_jj.max())) + 1)
 
     kbase_pd = int(min(comb_ii.min(), t0))
     K_pd = min(bucket(max(t1 - kbase_pd, 1)), v.buffer)
@@ -258,35 +309,73 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     Dmax = bucket(deg)
     adj, adj_mask = ba_mod.build_adjacency(ii_ba, EB, kbase_pd, K_pd, Dmax)
 
-    ba_frame_mask = np.zeros(v.buffer, bool)
-    ba_frame_mask[np.unique(comb_ii)] = True
+    ba_frame_mask = np.zeros(v.buffer, np.float32)
+    ba_frame_mask[np.unique(comb_ii)] = 1.0
 
     K_ds = min(bucket(int(comb_ii.max()) + 1 - int(comb_ii.min())), v.buffer)
-    M_cur = bucket(max(v.counter, 1))
 
+    ints = np.concatenate([
+        ii_p.astype(np.int32), jj_p.astype(np.int32), kk_p,
+        kx.astype(np.int32), ii_ba, jj_ba, adj.reshape(-1).astype(np.int32),
+        np.array([t0, t1, kbase_pd], np.int32),
+    ])
+    floats = np.concatenate(
+        [edge_mask, adj_mask.reshape(-1).astype(np.float32), ba_frame_mask])
+
+    return dict(
+        E=E, E_pad=E_pad, EB=EB, M_pad=M_pad, n_kx=len(kx), kx=kx,
+        P_max=P_max, K_pd=K_pd, Dmax=Dmax, K_ds=K_ds,
+        net=net, inp=inp, target=target, weight=None, pyramid=pyramid,
+        tgt_in=tgt_in, wgt_in=wgt_in,
+        ints=jnp.asarray(ints), floats=jnp.asarray(floats),
+    )
+
+
+def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
+                        use_inactive=True, EP=1e-7, alternate=True):
+    """Host wrapper: assemble padded state once per graph version, run
+    ``rounds`` fused DSPO iterations, write results back into graph/video.
+
+    Drop-in equivalent of ``rounds`` sequential FactorGraph.update calls with
+    alternating opt_type (pose_depth on even rounds) when ``alternate`` and
+    the video's BA_type is DSPO; pure pose_depth otherwise. The padded
+    per-edge state (incl. the correlation pyramid) and the packed index
+    uploads are cached on the graph keyed by its mutation version, so the
+    second fused call of a keyframe (frontend iters2) re-dispatches with no
+    host->device traffic beyond the round flags.
+    """
+    if len(graph.ii) == 0:
+        return
+    v = graph.video
+
+    key = (graph.version, t0, t1, bool(use_inactive))
+    cache = getattr(graph, "_fused_cache", None)
+    if cache is None or cache["key"] != key:
+        st = _assemble(graph, t0, t1, use_inactive)
+        cache = {"key": key, "st": st}
+        graph._fused_cache = cache
+    st = cache["st"]
+
+    M_cur = bucket(max(v.counter, 1))
     dspo_on = (v.BA_type == "DSPO") and alternate and v.counter > 0
     flags = np.array(
         [1 if (dspo_on and r % 2 == 1) else 0 for r in range(rounds)],
         np.int32,
     )
-
     mv = v.cfg["tracking"]["multiview_filter"]
     mono_thres = v.mono_thres if v.mono_thres else 0.0
 
-    out = dspo_rounds(
+    out = _dspo_rounds_packed(
         graph.update_apply, graph.params,
         v.poses, v.disps, v.intrinsics, v.zeros, v.mono_disps,
         v.depth_scale, v.depth_shift, v.valid_depth_mask_small,
         graph.damping,
-        pyramid, net, inp, target,
-        jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p), edge_mask,
-        graph.coords0, jnp.asarray(kx.astype(np.int32)),
-        tgt_in, wgt_in, jnp.asarray(ii_ba), jnp.asarray(jj_ba),
-        jnp.asarray(adj), jnp.asarray(adj_mask),
-        jnp.asarray(ba_frame_mask), jnp.asarray(flags),
-        t0, t1, kbase_pd, v.counter,
-        num_frames=M_pad, n_kx=len(kx), P_max=P_max, K_pd=K_pd, Dmax=Dmax,
-        K_ds=K_ds, M_cur=M_cur, ba_iters=itrs,
+        st["pyramid"], st["net"], st["inp"], st["target"],
+        st["tgt_in"], st["wgt_in"], graph.coords0,
+        st["ints"], st["floats"], jnp.asarray(flags), v.counter,
+        E_pad=st["E_pad"], EB=st["EB"], num_frames=st["M_pad"],
+        n_kx=st["n_kx"], P_max=st["P_max"], K_pd=st["K_pd"],
+        Dmax=st["Dmax"], K_ds=st["K_ds"], M_cur=M_cur, ba_iters=itrs,
         mv_thresh=float(mv["thresh"]), visible_num=int(mv["visible_num"]),
         mono_thres=float(mono_thres), lm=1e-4, ep=0.1, EP=EP,
     )
@@ -298,8 +387,12 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     v.depth_shift = dsh
     v.valid_depth_mask_small = vm
     graph.damping = damping
+    E = st["E"]
+    # keep BOTH the compact view (external surface) and the padded arrays
+    # (reused by the next fused call at the same version, zero re-padding)
+    st["net"], st["target"] = net2, target2
     graph.net = net2[:E]
     graph.target = target2[:E]
     graph.weight = weight2[:E]
-    v.upsample(kx, um[: len(kx)])
+    v.upsample(st["kx"], um[: st["n_kx"]])
     graph.age += rounds

@@ -205,3 +205,35 @@ def test_pallas_lookup_matches_separable_interpret():
         plane.transpose(0, 2, 3, 1), coords, interpret=True
     ))
     np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)  # bf16 plane
+
+
+def test_pallas_lookup_band_paths_interpret():
+    """The banded stage-1 slab (pallas_corr.BAND) must be exact on smooth
+    coords (slab path), wild coords (per-tile fallback), and a mix where
+    only some tiles take the slab path."""
+    from glorie_slam_tpu.ops import pallas_corr
+
+    rng = np.random.default_rng(7)
+    E, hl, wl = 2, 40, 80
+    npix = 128 * 3
+    plane = jnp.asarray(rng.normal(size=(E, hl, wl, npix)), jnp.float32)
+
+    base_y = rng.uniform(5, 30, size=(E, 1))
+    smooth = np.stack([
+        rng.uniform(0, wl - 1, size=(E, npix)),
+        base_y + rng.uniform(-2, 2, size=(E, npix)),
+    ], -1).astype(np.float32)
+    wild = np.stack([
+        rng.uniform(-5, wl + 5, size=(E, npix)),
+        rng.uniform(-5, hl + 5, size=(E, npix)),
+    ], -1).astype(np.float32)
+    mixed = smooth.copy()
+    mixed[:, 128:256] = wild[:, 128:256]
+
+    for coords in (smooth, wild, mixed):
+        c = jnp.asarray(coords)
+        ref = np.asarray(
+            corr.lookup_separable(plane.transpose(0, 3, 1, 2), c))
+        out = np.asarray(pallas_corr.lookup_pallas(
+            plane.astype(jnp.bfloat16), c, interpret=True, band=16))
+        np.testing.assert_allclose(ref, out, atol=2e-2, rtol=2e-2)
