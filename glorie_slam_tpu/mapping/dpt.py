@@ -1,23 +1,33 @@
 """DPT depth model (omnidata, ViT-B hybrid ResNet50 backbone) in flax.
 
-Rebuild of reference src/mono_priors/omnidata/ (dpt_depth.py:26-107, vit.py,
-blocks.py — ~2100 LoC of vendored timm/MiDaS code; the losses/, unet.py and
-channel_attention.py files there are vendored but UNUSED by the pipeline,
-SURVEY.md §2 row 22). Architecture:
+Rebuild of reference src/mono_priors/omnidata/modules/midas/ (dpt_depth.py:
+26-107, vit.py:345-495, blocks.py:231-341 — vendored timm/MiDaS code; the
+losses/, unet.py and channel_attention.py files there are vendored but
+UNUSED by the pipeline, SURVEY.md §2 row 22). Architecture, matched to the
+exact structure the omnidata_dpt_depth_v2 checkpoint was trained with
+(timm ``vit_base_r50_s16_384``):
 
-  * ResNetV2-50 stem (weight-standardized convs + GroupNorm) producing
+  * ResNetV2-50 stem (weight-standardized 'same'-padded convs, GroupNorm32,
+    NON-pre-activation bottlenecks: conv1-norm1-conv2-norm2-conv3-norm3 with
+    ReLU after the residual add, downsample = 1x1 conv + norm) producing
     1/4 (256ch) and 1/8 (512ch) feature hooks;
   * ViT-B/16 over the 1/16 grid (768 dim, 12 blocks, 12 heads, cls token)
-    with hooks after blocks 9 and 12;
-  * DPT reassemble + 4 RefineNet fusion blocks (256ch) and the monocular
-    depth head (inference at 384x384 or 512x512, reference
-    mono_estimators.py:34-58 runs 512x512).
+    with hooks after blocks 9 and 12 (vit.py:370-371, hooks [8, 11]);
+  * DPT reassemble ('project' readout) + 4 RefineNet fusion blocks (256ch,
+    bilinear align_corners=True upsampling, blocks.py:291-341) and the
+    monocular depth head (dpt_depth.py:91-98); inference at 512x512
+    (mono_estimators.py:42).
 
 Inference contract matches the reference: normalize(0.5, 0.5), forward,
 clamp [0, 1], bicubic resize back to the frame size.
+
+Parameter families are named so import_dpt.load_omnidata_checkpoint can map
+every tensor of the torch state dict; activation parity vs the reference
+torch model (with a faithful timm stand-in backbone) is asserted in
+tests/test_parity_dpt.py.
 """
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
@@ -25,22 +35,21 @@ import jax.numpy as jnp
 
 
 class StdConv(nn.Module):
-    """Weight-standardized conv (ResNetV2 'StdConv2dSame')."""
+    """Weight-standardized conv, 'same' padding (timm StdConv2dSame with
+    eps=1e-8 as used by the hybrid backbone)."""
     features: int
     kernel: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x):
-        conv = nn.Conv(self.features, (self.kernel, self.kernel),
-                       strides=self.stride, padding="SAME", use_bias=False,
-                       name="conv")
-        # weight standardization over (h, w, in)
         params = self.param(
             "kernel_raw",
             nn.initializers.lecun_normal(),
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
+        # standardize per OUTPUT channel over (h, w, in) — torch F.batch_norm
+        # over the (O, I*kh*kw) view, biased variance
         mean = jnp.mean(params, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(params, axis=(0, 1, 2), keepdims=True)
         w = (params - mean) / jnp.sqrt(var + 1e-8)
@@ -51,35 +60,42 @@ class StdConv(nn.Module):
 
 
 class GNReLU(nn.Module):
+    """timm GroupNormAct(32, eps=1e-5) with ReLU."""
     groups: int = 32
 
     @nn.compact
     def __call__(self, x):
-        return nn.relu(nn.GroupNorm(num_groups=self.groups, name="gn")(x))
+        return nn.relu(
+            nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x))
 
 
-class BottleneckV2(nn.Module):
-    """Pre-activation bottleneck (ResNetV2)."""
+class Bottleneck(nn.Module):
+    """timm ResNetV2 NON-preact bottleneck (resnetv2.py Bottleneck):
+    conv1-norm1-conv2(stride)-norm2-conv3-norm3, ReLU(x + shortcut);
+    shortcut = downsample(conv 1x1 stride + norm) when shape changes."""
     mid: int
     out: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x):
-        y = GNReLU(name="preact")(x)
         shortcut = x
         if self.stride > 1 or x.shape[-1] != self.out:
-            shortcut = StdConv(self.out, 1, self.stride, name="downsample")(y)
-        y = StdConv(self.mid, 1, name="conv1")(y)
+            s = StdConv(self.out, 1, self.stride, name="downsample_conv")(x)
+            shortcut = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                    name="downsample_norm")(s)
+        y = StdConv(self.mid, 1, name="conv1")(x)
         y = GNReLU(name="norm1")(y)
         y = StdConv(self.mid, 3, self.stride, name="conv2")(y)
         y = GNReLU(name="norm2")(y)
         y = StdConv(self.out, 1, name="conv3")(y)
-        return shortcut + y
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm3")(y)
+        return nn.relu(shortcut + y)
 
 
 class ResNetStem(nn.Module):
-    """ResNetV2-50 stages 1-3 (through 1/16), hooks at 1/4 and 1/8."""
+    """ResNetV2-50 stages 1-3 (layers (3, 4, 9), through 1/16), hooks at
+    1/4 and 1/8 (vit.py:363-368 registers hooks on stages 0 and 1)."""
 
     @nn.compact
     def __call__(self, x):
@@ -87,15 +103,15 @@ class ResNetStem(nn.Module):
         x = GNReLU(name="stem_norm")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # 1/4
         for i in range(3):
-            x = BottleneckV2(64, 256, 1, name=f"stage1_{i}")(x)
+            x = Bottleneck(64, 256, 1, name=f"stage0_{i}")(x)
         hook0 = x                                                   # 1/4
         for i in range(4):
-            x = BottleneckV2(128, 512, 2 if i == 0 else 1,
-                             name=f"stage2_{i}")(x)
+            x = Bottleneck(128, 512, 2 if i == 0 else 1,
+                           name=f"stage1_{i}")(x)
         hook1 = x                                                   # 1/8
         for i in range(9):
-            x = BottleneckV2(256, 1024, 2 if i == 0 else 1,
-                             name=f"stage3_{i}")(x)                 # 1/16
+            x = Bottleneck(256, 1024, 2 if i == 0 else 1,
+                           name=f"stage2_{i}")(x)                   # 1/16
         return hook0, hook1, x
 
 
@@ -129,12 +145,13 @@ class ViTBlock(nn.Module):
         x = x + MHSA(self.dim, self.heads, name="attn")(y)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_fc2")(y)
         return x + y
 
 
 class ResidualConvUnit(nn.Module):
+    """blocks.py ResidualConvUnit_custom (bn=False, ReLU)."""
     features: int = 256
 
     @nn.compact
@@ -146,22 +163,47 @@ class ResidualConvUnit(nn.Module):
         return x + y
 
 
-def _resize(x, factor):
+def _ac_weight(n_in, n_out):
+    """Row-stochastic bilinear interpolation matrix with torch
+    align_corners=True semantics: src = i * (n_in-1)/(n_out-1)."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), jnp.float32)
+    src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / max(n_out - 1, 1)
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 2)
+    frac = src - lo.astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    W = jnp.zeros((n_out, n_in), jnp.float32)
+    W = W.at[rows, lo].set(1.0 - frac)
+    W = W.at[rows, lo + 1].add(frac)
+    return W
+
+
+def upsample2_ac(x):
+    """2x bilinear upsampling with align_corners=True (torch F.interpolate
+    in blocks.py:335-337 / dpt_depth.py:93) as two MXU matmuls."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, int(H * factor), int(W * factor), C),
-                            "bilinear")
+    Wh = _ac_weight(H, 2 * H)
+    Ww = _ac_weight(W, 2 * W)
+    y = jnp.einsum("oh,bhwc->bowc", Wh, x)
+    return jnp.einsum("ow,bhwc->bhoc", Ww, y)
 
 
 class FeatureFusion(nn.Module):
-    """DPT RefineNet fusion block (blocks.py FeatureFusionBlock_custom)."""
+    """DPT RefineNet fusion block (blocks.py FeatureFusionBlock_custom,
+    deconv=False, bn=False, expand=False, align_corners=True)."""
     features: int = 256
 
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
             x = x + ResidualConvUnit(self.features, name="rcu1")(skip)
+        else:
+            # refinenet4 never receives a skip, but its resConfUnit1 weights
+            # exist in the checkpoint — materialize the params (zero-scaled,
+            # XLA folds the dead compute) so the importer maps every tensor
+            x = x + 0.0 * ResidualConvUnit(self.features, name="rcu1")(x)
         x = ResidualConvUnit(self.features, name="rcu2")(x)
-        x = _resize(x, 2)
+        x = upsample2_ac(x)
         return nn.Conv(self.features, (1, 1), name="out_conv")(x)
 
 
@@ -198,19 +240,23 @@ class DPTDepthModel(nn.Module):
             tokens = ViTBlock(self.dim, self.heads, name=f"block_{i}")(tokens)
             if i in self.hooks:
                 t_hooks.append(tokens)
-        tokens = nn.LayerNorm(name="norm")(tokens)
+        # hooks fire on raw block outputs (vit.py:161-165); the final
+        # LayerNorm only feeds the unused `glob` return — params kept for
+        # checkpoint completeness, output discarded
+        _ = nn.LayerNorm(name="norm")(tokens)
         if (self.n_blocks - 1) not in self.hooks:
             t_hooks.append(tokens)
         t_hooks = t_hooks[:2]
 
-        # reassemble transformer hooks to spatial maps ("project" readout)
+        # reassemble transformer hooks to spatial maps ("project" readout:
+        # cat(tokens, cls) -> Linear -> GELU, vit.py:36-47)
         def reassemble(t, out_ch, name):
             clsT, grid = t[:, :1], t[:, 1:]
             g = jnp.concatenate(
                 [grid, jnp.broadcast_to(clsT, grid.shape)], -1
             )
             g = nn.Dense(self.dim, name=f"{name}_readout")(g)
-            g = nn.gelu(g)
+            g = nn.gelu(g, approximate=False)
             g = g.reshape(B, h16, w16, self.dim)
             return nn.Conv(out_ch, (1, 1), name=f"{name}_proj")(g)
 
@@ -234,10 +280,10 @@ class DPTDepthModel(nn.Module):
         p2 = FeatureFusion(self.features, name="refinenet2")(p3, s2)    # 1/4
         p1 = FeatureFusion(self.features, name="refinenet1")(p2, s1)    # 1/2
 
-        # monocular depth head (dpt_depth.py head)
+        # monocular depth head (dpt_depth.py:91-98)
         y = nn.Conv(self.features // 2, (3, 3), padding=1,
                     name="head_conv1")(p1)
-        y = _resize(y, 2)                                        # 1/1
+        y = upsample2_ac(y)                                      # 1/1
         y = nn.Conv(32, (3, 3), padding=1, name="head_conv2")(y)
         y = nn.relu(y)
         y = nn.Conv(1, (1, 1), name="head_conv3")(y)

@@ -56,6 +56,9 @@ class MonoDepthEstimator:
         depth = self._forward(self.params, img[None])[0]
         depth = jnp.clip(depth, 0.0, 1.0)
         depth = jax.image.resize(depth, (H, W), "bicubic")
+        # bicubic overshoots; the reference clamps again after the resize
+        # (mono_estimators.py:48-50)
+        depth = jnp.clip(depth, 0.0, 1.0)
         return np.asarray(depth, np.float32)
 
     def predict_and_cache(self, tstamp, image):
