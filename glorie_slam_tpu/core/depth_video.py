@@ -141,11 +141,17 @@ class DepthVideo:
     def distance(self, ii, jj, beta=0.3, bidirectional=True):
         """Mean induced-flow distance (depth_video.py:166-196).
 
-        Edge lists are bucket-padded so jit shapes stay bounded."""
+        Edge lists are bucket-padded so jit shapes stay bounded; large
+        (proximity-grid) queries pad to powers of two so the growing
+        t x t grid crosses only ~log2 distinct shapes over a run."""
         ii = np.asarray(ii).reshape(-1)
         jj = np.asarray(jj).reshape(-1)
         E = len(ii)
         E_pad = bucket(E)
+        if E_pad > 256:
+            E_pad = 256
+            while E_pad < E:
+                E_pad *= 2
         ii_p = jnp.asarray(
             np.concatenate([ii, np.zeros(E_pad - E, np.int64)]), jnp.int32
         )
@@ -173,11 +179,20 @@ class DepthVideo:
         """Convex-upsample disparities of frames ix (depth_video.py:140-144).
 
         mask: (len(ix), h8, w8, 8*8*9) NHWC upmask from GraphAgg.
+        Frame lists are bucket-padded (the exact count changes every
+        keyframe and would recompile the convex-upsample program each
+        time); the scatter back merges only the valid rows.
         """
-        ix = jnp.asarray(ix, jnp.int32)
-        mask_nchw = jnp.moveaxis(mask, -1, 1)
-        disps_up = upsample.upsample_disp(self.disps[ix], mask_nchw)
-        self.disps_up = self.disps_up.at[ix].set(disps_up)
+        ix = np.asarray(ix).reshape(-1)
+        n = len(ix)
+        P = bucket(n)
+        ix_p = np.concatenate([ix, np.zeros(P - n, np.int64)])
+        if P > n:
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((P - n,) + mask.shape[1:], mask.dtype)], 0)
+        self.disps_up = _upsample_merge(
+            self.disps, self.disps_up, jnp.asarray(ix_p, jnp.int32), mask,
+            jnp.int32(n))
 
     def normalize(self):
         """Rescale mean disparity to 1 (monocular gauge, depth_video.py:146-153)."""
@@ -410,3 +425,17 @@ class DepthVideo:
             path, poses=poses, depths=depths, timestamps=timestamps,
             valid_depth_masks=masks,
         )
+
+
+@jax.jit
+def _upsample_merge(disps, disps_up, ix, mask, n_valid):
+    """Convex-upsample disps[ix] and merge rows [0, n_valid) into disps_up.
+
+    Pad rows (ix clamped to 0, garbage masks) are discarded by the validity
+    mask; the scatter-ADD of deltas is duplicate-safe (pad rows add zero).
+    """
+    mask_nchw = jnp.moveaxis(mask, -1, 1)
+    up = upsample.upsample_disp(disps[ix], mask_nchw)
+    valid = (jnp.arange(ix.shape[0]) < n_valid)[:, None, None]
+    delta = jnp.where(valid, up - disps_up[ix], 0.0)
+    return disps_up.at[ix].add(delta)

@@ -97,10 +97,14 @@ class SLAM:
                 )
                 self.only_tracking = True
 
+        from .utils.phase_timer import PhaseTimer
+
+        self.timer = PhaseTimer()
         self.tracker = Tracker(
             self.tracker_net, self.video, cfg, printer=self.printer,
             mono_predictor=self._make_mono_predictor(cfg),
             on_keyframe=(self.mapper.on_keyframe if self.mapper else None),
+            timer=self.timer,
         )
 
     def _make_mono_predictor(self, cfg):
@@ -146,26 +150,31 @@ class SLAM:
         """Final BA -> final refine -> save video -> evaluate
         (reference slam.py:129-187)."""
         cfg = self.cfg
+        timer = self.timer
         if cfg["tracking"]["backend"].get("final_ba", True):
-            self.final_ba()
+            with timer.phase("final_ba"):
+                self.final_ba()
         if self.mapper is not None:
-            self.mapper.final_refine(save_final_pcl=True)
+            with timer.phase("final_refine"):
+                self.mapper.final_refine(save_final_pcl=True)
         self.video.save_video(f"{self.output}/video.npz")
 
         traj_dir = f"{self.output}/traj"
         try:
-            kf_traj_eval(
-                f"{self.output}/video.npz", traj_dir, "kf_traj",
-                self.stream, self.logger, self.printer,
-            )
+            with timer.phase("eval_traj"):
+                kf_traj_eval(
+                    f"{self.output}/video.npz", traj_dir, "kf_traj",
+                    self.stream, self.logger, self.printer,
+                )
         except Exception as e:  # noqa: BLE001 - eval is best-effort
             self.printer.print(f"kf traj eval failed: {e}", subsystem="error")
 
         try:
-            est_w2c, _, _ = full_traj_eval(
-                self.traj_filler, traj_dir, "full_traj",
-                self.stream, self.logger, self.printer,
-            )
+            with timer.phase("trajectory_filler"):
+                est_w2c, _, _ = full_traj_eval(
+                    self.traj_filler, traj_dir, "full_traj",
+                    self.stream, self.logger, self.printer,
+                )
             np.save(f"{traj_dir}/full_traj_w2c.npy", np.asarray(est_w2c))
         except Exception as e:  # noqa: BLE001
             self.printer.print(f"full traj eval failed: {e}",
@@ -202,6 +211,8 @@ class SLAM:
                 except Exception as e:  # noqa: BLE001
                     self.printer.print(f"recon eval failed: {e}",
                                        subsystem="error")
+        self.timer.dump(f"{self.output}/logs/phase_times.json",
+                        printer=self.printer)
         self.printer.print("Metrics have been written to logs/",
                            subsystem="eval")
         self.printer.terminate()

@@ -79,10 +79,13 @@ class Frontend:
                 graph_update_rounds(self.graph, self.iters2,
                                     use_inactive=True)
 
-        # seed the next pose/disp (frontend.py:81-82)
+        # seed the next pose/disp (frontend.py:81-82); at t1 == buffer the
+        # scatter would silently clamp onto the LAST keyframe — skip it
+        # (there is no next slot to seed)
         v = self.video
-        v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
-        v.disps = v.disps.at[self.t1].set(v.disps[self.t1 - 1].mean())
+        if self.t1 < v.buffer:
+            v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
+            v.disps = v.disps.at[self.t1].set(v.disps[self.t1 - 1].mean())
         v.set_dirty(int(self.graph.ii.min()), self.t1)
 
     def _initialize(self):

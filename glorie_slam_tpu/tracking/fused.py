@@ -39,7 +39,7 @@ from ..utils.buckets import bucket
 @partial(
     jax.jit,
     static_argnames=(
-        "update_apply", "num_frames", "n_kx", "P_max", "K_pd", "Dmax",
+        "update_apply", "num_frames", "P_max", "K_pd", "Dmax",
         "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
         "mono_thres", "lm", "ep", "EP",
     ),
@@ -48,11 +48,11 @@ def dspo_rounds(update_apply, params,
                 poses, disps, intrinsics, zeros, mono_disps,
                 depth_scale, depth_shift, vmask_small, damping,
                 pyramid, net, inp, target, ii_act, jj_act, kk, edge_mask,
-                coords0, kx,
+                coords0, kx, n_kx_valid,
                 tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask,
                 ba_frame_mask, is_ds_flags,
                 t0, t1, kbase_pd, counter,
-                *, num_frames: int, n_kx: int, P_max: int, K_pd: int,
+                *, num_frames: int, P_max: int, K_pd: int,
                 Dmax: int, K_ds: int, M_cur: int, ba_iters: int = 2,
                 mv_thresh: float = 0.01, visible_num: int = 2,
                 mono_thres: float = 0.0, lm: float = 1e-4, ep: float = 0.1,
@@ -80,7 +80,11 @@ def dspo_rounds(update_apply, params,
             num_frames=num_frames,
         )
         weight2 = weight2 * edge_mask[:, None, None, None]
-        damping = damping.at[kx].set(eta_agg[:n_kx])
+        # kx is padded to num_frames; merge only the valid rows (a masked
+        # scatter-ADD of the delta is duplicate-safe: pad rows add zero)
+        kx_valid = (jnp.arange(num_frames) < n_kx_valid)[:, None, None]
+        damping = damping.at[kx].add(
+            jnp.where(kx_valid, eta_agg[:num_frames] - damping[kx], 0.0))
         eta_val = 0.2 * damping + EP
         eta_full = jnp.where(ba_frame_mask[:, None, None], eta_val, 1e-7)
         tgt_comb = jnp.concatenate([tgt_inac, target2], 0)
@@ -192,7 +196,7 @@ def dspo_rounds(update_apply, params,
 @partial(
     jax.jit,
     static_argnames=(
-        "update_apply", "num_frames", "n_kx", "P_max", "K_pd", "Dmax",
+        "update_apply", "num_frames", "P_max", "K_pd", "Dmax",
         "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
         "mono_thres", "lm", "ep", "EP", "E_pad", "EB",
     ),
@@ -202,7 +206,7 @@ def _dspo_rounds_packed(update_apply, params,
                         depth_scale, depth_shift, vmask_small, damping,
                         pyramid, net, inp, target, tgt_inac, wgt_inac,
                         coords0, ints, floats, is_ds_flags, counter,
-                        *, E_pad: int, EB: int, num_frames: int, n_kx: int,
+                        *, E_pad: int, EB: int, num_frames: int,
                         P_max: int, K_pd: int, Dmax: int, K_ds: int,
                         M_cur: int, ba_iters: int, mv_thresh: float,
                         visible_num: int, mono_thres: float, lm: float,
@@ -211,8 +215,9 @@ def _dspo_rounds_packed(update_apply, params,
     and ONE float32 vector — a single upload each instead of ~10 (the
     per-transfer latency of a remote device transport dominates otherwise).
 
-    ints layout:  [ii_act | jj_act | kk | kx | ii_ba | jj_ba | adj | t0, t1,
-                   kbase_pd];  floats: [edge_mask | adj_mask | ba_frame_mask].
+    ints layout:  [ii_act | jj_act | kk | kx(num_frames) | ii_ba | jj_ba |
+                   adj | t0, t1, kbase_pd, n_kx_valid];
+    floats: [edge_mask | adj_mask | ba_frame_mask].
     """
     o = 0
 
@@ -225,11 +230,12 @@ def _dspo_rounds_packed(update_apply, params,
     ii_act = take(E_pad)
     jj_act = take(E_pad)
     kk = take(E_pad)
-    kx = take(n_kx)
+    kx = take(num_frames)
     ii_ba = take(EB)
     jj_ba = take(EB)
     adj = take(K_pd * Dmax).reshape(K_pd, Dmax)
-    t0, t1, kbase_pd = take(1)[0], take(1)[0], take(1)[0]
+    t0, t1 = take(1)[0], take(1)[0]
+    kbase_pd, n_kx_valid = take(1)[0], take(1)[0]
 
     edge_mask = jax.lax.slice(floats, (0,), (E_pad,))
     adj_mask = jax.lax.slice(
@@ -241,24 +247,55 @@ def _dspo_rounds_packed(update_apply, params,
     return dspo_rounds(
         update_apply, params, poses, disps, intrinsics, zeros, mono_disps,
         depth_scale, depth_shift, vmask_small, damping, pyramid, net, inp,
-        target, ii_act, jj_act, kk, edge_mask, coords0, kx,
+        target, ii_act, jj_act, kk, edge_mask, coords0, kx, n_kx_valid,
         tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask, ba_frame_mask,
         is_ds_flags, t0, t1, kbase_pd, counter,
-        num_frames=num_frames, n_kx=n_kx, P_max=P_max, K_pd=K_pd, Dmax=Dmax,
+        num_frames=num_frames, P_max=P_max, K_pd=K_pd, Dmax=Dmax,
         K_ds=K_ds, M_cur=M_cur, ba_iters=ba_iters, mv_thresh=mv_thresh,
         visible_num=visible_num, mono_thres=mono_thres, lm=lm, ep=ep, EP=EP,
     )
 
 
+def _stable_caps(graph):
+    """Shape caps that keep the fused program's jit key CONSTANT across
+    frontend keyframes (instead of re-bucketing to the graph's exact sizes
+    and recompiling as it grows — on this class of program an XLA compile
+    costs tens of seconds, VERDICT.md weak #4).
+
+    Caps derive only from config: max_factors bounds E (add_factors evicts
+    to it), the frontend window + proximity radius bound the frame span,
+    so with padding to these caps every steady-state keyframe hits the
+    SAME compiled executable. Exact buckets remain the fallback whenever a
+    cap is exceeded (init bursts, tests with no max_factors)."""
+    v = graph.video
+    fcfg = v.cfg.get("tracking", {}).get("frontend", {})
+    window = int(fcfg.get("window", 0))
+    E_cap = bucket(graph.max_factors) if graph.max_factors > 0 else 0
+    span_cap = min(bucket(window + 16), v.buffer) if window else 0
+    return E_cap, span_cap
+
+
+def _pow2_bucket(n):
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
 def _assemble(graph, t0_arg, t1_arg, use_inactive):
     """Build the per-version padded device state + packed uploads."""
     v = graph.video
+    E_cap, span_cap = _stable_caps(graph)
     E = len(graph.ii)
-    E_pad = bucket(E)
+    E_pad = max(bucket(E), E_cap)
     net, inp, target, ii_p, jj_p, pyramid = graph._pad_edge_arrays(E_pad)
 
     kx, kk = np.unique(graph.ii, return_inverse=True)
-    M_pad = bucket(len(kx))
+    n_kx = len(kx)
+    M_pad = max(bucket(n_kx), span_cap)
+    # kx padded to M_pad: damping rows are merged with a validity-masked
+    # scatter-add inside the jit, so the pad value (0) is harmless
+    kx_p = np.concatenate([kx, np.zeros(M_pad - n_kx, np.int64)])
     kk_p = np.concatenate(
         [kk, np.full(E_pad - E, M_pad - 1)]).astype(np.int32)
     edge_mask = np.concatenate(
@@ -279,7 +316,8 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
         wgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
 
     EI = len(ii_in)
-    EI_pad = bucket(EI) if EI else 0
+    # floor the inactive bucket so EB stays constant while EI fluctuates
+    EI_pad = max(bucket(EI), E_cap // 2) if (EI or E_cap) else 0
     if EI_pad:
         padi = EI_pad - EI
         ii_in_p = np.concatenate([ii_in, -np.ones(padi, np.int64)])
@@ -302,28 +340,31 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
           else int(max(comb_ii.max(), comb_jj.max())) + 1)
 
     kbase_pd = int(min(comb_ii.min(), t0))
-    K_pd = min(bucket(max(t1 - kbase_pd, 1)), v.buffer)
-    kbase_pd = min(kbase_pd, v.buffer - K_pd)
-    P_max = bucket(max(t1 - t0, 1))
+    K_pd = min(max(bucket(max(t1 - kbase_pd, 1)), span_cap), v.buffer)
+    kbase_pd = max(0, min(kbase_pd, v.buffer - K_pd))
+    P_max = min(max(bucket(max(t1 - t0, 1)), span_cap), v.buffer)
     deg = int(np.bincount(comb_ii - kbase_pd, minlength=1).max())
-    Dmax = bucket(deg)
+    Dmax = max(bucket(deg), 32 if span_cap else 0)
     adj, adj_mask = ba_mod.build_adjacency(ii_ba, EB, kbase_pd, K_pd, Dmax)
 
     ba_frame_mask = np.zeros(v.buffer, np.float32)
     ba_frame_mask[np.unique(comb_ii)] = 1.0
 
-    K_ds = min(bucket(int(comb_ii.max()) + 1 - int(comb_ii.min())), v.buffer)
+    K_ds = min(
+        max(bucket(int(comb_ii.max()) + 1 - int(comb_ii.min())), span_cap),
+        v.buffer)
 
     ints = np.concatenate([
         ii_p.astype(np.int32), jj_p.astype(np.int32), kk_p,
-        kx.astype(np.int32), ii_ba, jj_ba, adj.reshape(-1).astype(np.int32),
-        np.array([t0, t1, kbase_pd], np.int32),
+        kx_p.astype(np.int32), ii_ba, jj_ba,
+        adj.reshape(-1).astype(np.int32),
+        np.array([t0, t1, kbase_pd, n_kx], np.int32),
     ])
     floats = np.concatenate(
         [edge_mask, adj_mask.reshape(-1).astype(np.float32), ba_frame_mask])
 
     return dict(
-        E=E, E_pad=E_pad, EB=EB, M_pad=M_pad, n_kx=len(kx), kx=kx,
+        E=E, E_pad=E_pad, EB=EB, M_pad=M_pad, n_kx=n_kx, kx=kx,
         P_max=P_max, K_pd=K_pd, Dmax=Dmax, K_ds=K_ds,
         net=net, inp=inp, target=target, weight=None, pyramid=pyramid,
         tgt_in=tgt_in, wgt_in=wgt_in,
@@ -356,7 +397,9 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         graph._fused_cache = cache
     st = cache["st"]
 
-    M_cur = bucket(max(v.counter, 1))
+    # power-of-two ladder: M_cur is the only remaining growth-driven
+    # static, ~log2(buffer) recompiles over a whole run
+    M_cur = min(_pow2_bucket(max(v.counter, 1)), v.buffer)
     dspo_on = (v.BA_type == "DSPO") and alternate and v.counter > 0
     flags = np.array(
         [1 if (dspo_on and r % 2 == 1) else 0 for r in range(rounds)],
@@ -374,7 +417,7 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         st["tgt_in"], st["wgt_in"], graph.coords0,
         st["ints"], st["floats"], jnp.asarray(flags), v.counter,
         E_pad=st["E_pad"], EB=st["EB"], num_frames=st["M_pad"],
-        n_kx=st["n_kx"], P_max=st["P_max"], K_pd=st["K_pd"],
+        P_max=st["P_max"], K_pd=st["K_pd"],
         Dmax=st["Dmax"], K_ds=st["K_ds"], M_cur=M_cur, ba_iters=itrs,
         mv_thresh=float(mv["thresh"]), visible_num=int(mv["visible_num"]),
         mono_thres=float(mono_thres), lm=1e-4, ep=0.1, EP=EP,

@@ -50,6 +50,13 @@ class MotionFilter:
         self.thresh = thresh
         self.count = 0
         self.mono_predictor = mono_predictor
+        # online priors are ALSO predicted/cached every every_frame-th frame
+        # regardless of keyframe admission (reference motion_filter.py:62-64)
+        # so downstream consumers find .npy priors for those timestamps
+        self.predict_online = bool(
+            cfg.get("mono_prior", {}).get("predict_online", False))
+        self.every_frame = int(
+            cfg.get("mapping", {}).get("every_frame", 1) or 1)
 
         self.fmap = None
         self.net = None
@@ -68,10 +75,16 @@ class MotionFilter:
         inputs = droid_net.normalize_images(image[None])
         gmap = self.tn.features(inputs)
 
+        cadence_mono = None
+        if (self.mono_predictor is not None and self.predict_online
+                and int(tstamp) % self.every_frame == 0):
+            cadence_mono = self.mono_predictor(tstamp, image)
+
         def admit():
             net, inp = self.tn.context(inputs)
             self.fmap, self.net, self.inp = gmap, net, inp
-            mono = self._mono_depth(tstamp, image)
+            mono = (cadence_mono if cadence_mono is not None
+                    else self._mono_depth(tstamp, image))
             first = self.video.counter == 0
             self.video.append(
                 tstamp,

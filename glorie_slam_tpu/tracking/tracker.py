@@ -8,6 +8,7 @@ the reference's lock-step semantics (tracker.py:68-70 blocks on pipe.recv).
 
 from typing import Callable, Optional
 
+from ..utils.phase_timer import PhaseTimer
 from .motion_filter import MotionFilter
 from .frontend import Frontend
 from .backend import Backend
@@ -16,12 +17,13 @@ from .backend import Backend
 class Tracker:
     def __init__(self, tracker_net, video, cfg, printer=None,
                  mono_predictor=None,
-                 on_keyframe: Optional[Callable] = None):
+                 on_keyframe: Optional[Callable] = None, timer=None):
         self.cfg = cfg
         self.video = video
         self.printer = printer
         self.on_keyframe = on_keyframe
         self.only_tracking = cfg.get("only_tracking", False)
+        self.timer = timer if timer is not None else PhaseTimer()
 
         tcfg = cfg["tracking"]
         filter_thresh = tcfg["motion_filter"]["thresh"]
@@ -50,29 +52,35 @@ class Tracker:
         number_of_kf = 0
         intrinsic = stream.get_intrinsic()
 
+        timer = self.timer
         for i in range(len(stream)):
             timestamp, image = stream[i][0], stream[i][1]
-            self.motion_filter.track(timestamp, image, intrinsic)
-            self.frontend()
+            with timer.phase("motion_filter"):
+                self.motion_filter.track(timestamp, image, intrinsic)
+            with timer.phase("frontend"):
+                self.frontend()
             curr_kf_idx = self.video.counter - 1
 
             if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
                 number_of_kf += 1
+                timer.keyframe()
                 if (self.enable_online_ba
                         and curr_kf_idx >= prev_ba_idx + self.ba_freq):
                     self._print(
                         f"Online BA at {curr_kf_idx}th keyframe, "
                         f"frame index: {timestamp}"
                     )
-                    self.online_ba.dense_ba(2)
+                    with timer.phase("online_ba"):
+                        self.online_ba.dense_ba(2)
                     prev_ba_idx = curr_kf_idx
                 if (not self.only_tracking and self.on_keyframe is not None
                         and number_of_kf % self.every_kf == 0):
                     # synchronous mapper handshake (reference pipe send/recv)
-                    self.on_keyframe(
-                        {"is_keyframe": True, "video_idx": curr_kf_idx,
-                         "timestamp": timestamp, "end": False}
-                    )
+                    with timer.phase("mapper"):
+                        self.on_keyframe(
+                            {"is_keyframe": True, "video_idx": curr_kf_idx,
+                             "timestamp": timestamp, "end": False}
+                        )
             prev_kf_idx = curr_kf_idx
             if self.printer is not None:
                 self.printer.update_pbar()

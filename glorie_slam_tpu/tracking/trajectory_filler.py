@@ -45,6 +45,14 @@ class PoseTrajectoryFiller:
         fmaps = self.tn.features(droid_net.normalize_images(imgs))
 
         # temporarily append the non-keyframes to the video
+        if N + M > v.buffer:
+            # .at[] writes past the buffer would silently clamp onto the
+            # last keyframe and corrupt it — fail loudly instead
+            raise ValueError(
+                f"trajectory filler needs {M} scratch slots past the "
+                f"{N} keyframes but tracking.buffer={v.buffer}; raise "
+                "tracking.buffer by at least "
+                f"{N + M - v.buffer} to fill the full trajectory")
         v.counter = N + M
         idx = jnp.arange(N, N + M)
         v.timestamp = v.timestamp.at[idx].set(jnp.asarray(tt))

@@ -2,8 +2,8 @@
 
 Replaces the reference's external deps: pytorch_msssim (eval_render.py:11),
 torchmetrics LPIPS (eval_render.py:5), and the standalone gaussian-window
-SSIM in src/utils/eval_ssim.py:1-134. All in numpy; LPIPS needs pretrained
-AlexNet features and is gated (returns None when unavailable).
+SSIM in src/utils/eval_ssim.py:1-134. PSNR/SSIM/MS-SSIM in numpy; LPIPS is
+a native JAX AlexNet-feature pipeline (see the LPIPS section below).
 """
 
 import numpy as np
@@ -117,19 +117,147 @@ def ms_ssim(img_a, img_b, data_range=1.0, weights=_MSSSIM_WEIGHTS):
     return float(np.prod(vals ** w))
 
 
-_LPIPS_WARNED = [False]
+# ---------------------------------------------------------------------------
+# LPIPS(alex) — native JAX implementation of the metric the reference takes
+# from torchmetrics (reference eval_render.py:27-28, net_type='alex',
+# normalize=True): scaling layer -> AlexNet feature stack -> channel-unit-
+# normalize -> squared diff -> non-negative 1x1 linear heads -> spatial mean
+# -> sum over the 5 stages.
+#
+# True LPIPS needs the pretrained AlexNet + linear-head weights; this
+# environment has no torchvision and no egress, so by default the feature
+# stack uses FIXED-SEED random convolutions with uniform linear heads — an
+# untrained-feature perceptual distance (same architecture, deterministic
+# across runs; random-feature perceptual metrics are a known serviceable
+# stand-in). Drop the standard checkpoints at weights/lpips/ (alexnet.pth
+# from torchvision + alex.pth from the lpips package, or set $LPIPS_WEIGHTS)
+# and the same code computes reference-exact LPIPS.
+# ---------------------------------------------------------------------------
+
+_ALEX_CFG = (  # (out_ch, kernel, stride, pad, maxpool_before)
+    (64, 11, 4, 2, False),
+    (192, 5, 1, 2, True),
+    (384, 3, 1, 1, True),
+    (256, 3, 1, 1, False),
+    (256, 3, 1, 1, False),
+)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+_LPIPS_STATE = {}
+
+
+def _lpips_random_params(seed=0):
+    rng = np.random.default_rng(seed)
+    convs, lins = [], []
+    cin = 3
+    for cout, k, _s, _p, _mp in _ALEX_CFG:
+        fan_in = cin * k * k
+        w = rng.normal(0, np.sqrt(2.0 / fan_in),
+                       (k, k, cin, cout)).astype(np.float32)
+        convs.append((w, np.zeros(cout, np.float32)))
+        lins.append(np.full(cout, 1.0 / cout, np.float32))
+        cin = cout
+    return convs, lins
+
+
+def _lpips_load_weights(path_dir):
+    """Load torchvision alexnet.pth + lpips alex.pth state dicts."""
+    import os
+
+    import torch
+
+    alex_p = os.path.join(path_dir, "alexnet.pth")
+    lin_p = os.path.join(path_dir, "alex.pth")
+    if not (os.path.exists(alex_p) and os.path.exists(lin_p)):
+        return None
+    astate = torch.load(alex_p, map_location="cpu", weights_only=False)
+    lstate = torch.load(lin_p, map_location="cpu", weights_only=False)
+    conv_idx = [0, 3, 6, 8, 10]
+    convs, lins = [], []
+    for li, ci in enumerate(conv_idx):
+        w = np.asarray(astate[f"features.{ci}.weight"])
+        b = np.asarray(astate[f"features.{ci}.bias"])
+        convs.append((np.transpose(w, (2, 3, 1, 0)).astype(np.float32),
+                      b.astype(np.float32)))
+        lw = np.asarray(lstate[f"lin{li}.model.1.weight"])
+        lins.append(np.maximum(lw.reshape(-1), 0.0).astype(np.float32))
+    return convs, lins
+
+
+def _lpips_get_state():
+    if "fn" in _LPIPS_STATE:
+        return _LPIPS_STATE
+    import os
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    wdir = os.environ.get(
+        "LPIPS_WEIGHTS",
+        os.path.join(os.path.dirname(__file__), "..", "..", "weights",
+                     "lpips"),
+    )
+    loaded = None
+    try:
+        loaded = _lpips_load_weights(wdir)
+    except Exception:
+        loaded = None
+    if loaded is None:
+        params = _lpips_random_params()
+        _LPIPS_STATE["pretrained"] = False
+        print("[eval] LPIPS: pretrained AlexNet weights not found — using "
+              "the fixed-seed untrained-feature variant (same architecture; "
+              "place alexnet.pth + alex.pth under weights/lpips/ or set "
+              "$LPIPS_WEIGHTS for reference-exact LPIPS)")
+    else:
+        params = loaded
+        _LPIPS_STATE["pretrained"] = True
+
+    convs = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params[0]]
+    lins = [jnp.asarray(l) for l in params[1]]
+
+    def features(x):
+        """x (1, H, W, 3) in [-1, 1] -> 5 feature maps."""
+        x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+        feats = []
+        for (w, b), (_c, _k, s, p, mp) in zip(convs, _ALEX_CFG):
+            if mp:
+                x = -jax.lax.reduce_window(
+                    -x, jnp.inf, jax.lax.min, (1, 3, 3, 1), (1, 2, 2, 1),
+                    "VALID")
+            x = jax.lax.conv_general_dilated(
+                x, w, (s, s), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.relu(x + b)
+            feats.append(x)
+        return feats
+
+    @jax.jit
+    def dist(a, b):
+        fa, fb = features(a), features(b)
+        total = 0.0
+        for xa, xb, lw in zip(fa, fb, lins):
+            na = xa / jnp.sqrt(jnp.sum(xa**2, -1, keepdims=True) + 1e-10)
+            nb = xb / jnp.sqrt(jnp.sum(xb**2, -1, keepdims=True) + 1e-10)
+            d = (na - nb) ** 2
+            total = total + jnp.mean(jnp.sum(d * lw, -1))
+        return total
+
+    _LPIPS_STATE["fn"] = dist
+    return _LPIPS_STATE
 
 
 def lpips(img_a, img_b):
-    """LPIPS(alex). Requires pretrained AlexNet features; returns None when
-    unavailable in this environment (reference eval_render.py:27-28)."""
-    try:
-        import torch
-        from torchvision.models import alexnet  # noqa: F401
-    except ImportError:
-        if not _LPIPS_WARNED[0]:
-            _LPIPS_WARNED[0] = True
-            print("[eval] LPIPS unavailable (no torchvision/alexnet); "
-                  "reporting None")
-        return None
-    return None  # full LPIPS weights not bundled; gated for now
+    """LPIPS(alex) perceptual distance; images (H, W, 3) in [0, 1].
+
+    Matches torchmetrics LearnedPerceptualImagePatchSimilarity(
+    net_type='alex', normalize=True) given the pretrained weights; see the
+    module-level note for the untrained-feature fallback. Returns float."""
+    import jax.numpy as jnp
+
+    state = _lpips_get_state()
+    a = jnp.asarray(np.asarray(img_a, np.float32))[None] * 2.0 - 1.0
+    b = jnp.asarray(np.asarray(img_b, np.float32))[None] * 2.0 - 1.0
+    return float(state["fn"](a, b))
