@@ -589,12 +589,33 @@ class Mapper:
         self.npc.col_feats = train_params["col"]
         self._print("Mapper has updated point features.")
 
-        # visual diagnostics (reference mapper.py:664-673)
+        # visual diagnostics (reference mapper.py:664-673 /
+        # Visualizer.py:57-226): on the vis cadence re-render the keyframe
+        # so the rendered-depth/color and residual panels are real
         if not color_refine and not self.cfg.get("silence", False):
             try:
+                do_vis = init or (self.visualizer.freq > 0
+                                  and cur_idx % self.visualizer.freq == 0)
+                rendered_depth = rendered_color = None
+                droid_vis = mono_vis = gt_depth_vis = None
+                if do_vis:
+                    video_idx = getattr(self, "_cur_video_idx", None)
+                    mono = getattr(self, "_cur_mono", None)
+                    if video_idx is not None:
+                        _, mono_vis, droid_vis = self.get_c2w_and_depth(
+                            video_idx, cur_idx, mono)
+                        out = self.render_keyframe_img(
+                            video_idx, cur_idx, mono)
+                        if out is not None:
+                            rendered_depth, rendered_color, _ = out
+                    try:
+                        gt_depth_vis = self.frame_reader[int(cur_idx)][2]
+                    except Exception:  # noqa: BLE001
+                        gt_depth_vis = None
                 self.visualizer.vis(
-                    cur_idx, num_joint_iters - 1, None, cur_depth, None,
-                    None, cur_gt_color, None, None,
+                    cur_idx, num_joint_iters - 1, gt_depth_vis, cur_depth,
+                    droid_vis, mono_vis, cur_gt_color, rendered_depth,
+                    rendered_color,
                     freq_override=init,
                     save_rendered_image=self.save_rendered_image,
                 )
@@ -638,6 +659,9 @@ class Mapper:
         )
         if cur_c2w is None:
             return False
+        # stashed for the per-frame visual diagnostics in optimize_map
+        self._cur_video_idx = video_idx
+        self._cur_mono = mono_depth
 
         if self.render_depth_type == "proxy":
             anchor_depth = np.asarray(droid_depth).copy()
