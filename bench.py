@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: fused tracking-step throughput (GRU + corr lookup + DBA).
+"""Benchmark: steady-state keyframe FPS of the REAL tracking pipeline.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The metric is tracking-step latency at Replica operating resolution
-(1/8-scale 40x80 grid, 96-edge factor graph, 48-frame window) on the
-available accelerator — the per-keyframe hot loop of the reference
-(SURVEY.md §3.2 runs 8 of these per accepted keyframe). ``vs_baseline``
-compares against the reference's RTX-3090 budget: the paper's tracker runs
-~15 keyframe-updates/s equivalent; we report the ratio of achieved
-steps/s to that reference rate (>1 = faster than baseline).
+This is the honest north-star metric (BASELINE.json: keyframe FPS): a
+synthetic Replica-scale stream (320x640, 1/8-grid 40x80) is tracked by the
+full production pipeline — motion filter (fnet + one-GRU flow check),
+proximity edge proposal, correlation-pyramid build, the fused
+8-round DSPO program (GRU + DBA/scale-shift alternation + convex
+upsample), keyframe-distance check, the 4-round refinement, and the
+full-resolution multiview validity refresh. Every frame is admitted
+(motion_filter.thresh = 0) so each frame costs one full keyframe update.
+
+``vs_baseline``: the reference pipeline sustains ~15 GRU+BA update rounds/s
+on an RTX 3090 at this resolution (paper-scale DROID budget; the reference
+repo publishes no FPS table — BASELINE.md). One of our keyframes runs 12
+such rounds (frontend iters1=8 + iters2=4), so the reference keyframe rate
+is 15/12 = 1.25 KF/s. The ≥2x target (BASELINE.json) is vs_baseline >= 2.
 """
 
 import json
@@ -18,11 +25,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
 
-# Reference budget: DROID-style frontends on RTX 3090 sustain roughly
-# 15 GRU+BA iterations/s at this resolution (paper-scale; no in-tree FPS
-# table exists — BASELINE.md). Ratio > 1 means faster than that budget.
-BASELINE_STEPS_PER_S = 15.0
+BASELINE_KF_PER_S = 15.0 / 12.0
+N_FRAMES = 40
+N_STEADY = 10
 
 
 def main():
@@ -33,36 +41,56 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    from functools import partial
+    from synthetic import SyntheticStream, base_cfg
+    from glorie_slam_tpu.core.depth_video import DepthVideo
+    from glorie_slam_tpu.nets.tracker_net import TrackerNet
+    from glorie_slam_tpu.tracking.tracker import Tracker
 
-    from __graft_entry__ import _example_problem
-    from glorie_slam_tpu.parallel.step import tracking_step
+    H, W = 320, 640
+    stream = SyntheticStream(n_frames=N_FRAMES, H=H, W=W, seed=3,
+                             motion_scale=0.02)
 
-    # Replica-scale problem: H_out=320, W_out=640 -> 40x80 @ 1/8; 96 edges
-    args, statics = _example_problem(
-        E=96, N=64, h8=40, w8=80, M=32, P=48, K=48, D=16
-    )
-    update_apply = args.pop("update_apply")
-    fn = partial(tracking_step, update_apply, **statics)
-    vals = tuple(args.values())
+    cfg = base_cfg(H=H, W=W, buffer=400, out="/tmp/glorie_bench")
+    tc = cfg["tracking"]
+    tc["warmup"] = 8
+    tc["max_age"] = 50
+    tc["motion_filter"]["thresh"] = 0.0          # admit every frame
+    tc["multiview_filter"] = {"thresh": 0.01, "visible_num": 2}
+    tc["frontend"].update(dict(
+        enable_loop=True, enable_online_ba=True, keyframe_thresh=0.0,
+        thresh=25.0, window=50, radius=2, nms=1, max_factors=100))
+    tc["backend"].update(dict(
+        ba_freq=50, loop_window=50, loop_nms=25, BA_type="DSPO",
+        normalize=True))
 
-    # compile + warmup
-    out = fn(*vals)
-    jax.block_until_ready(out)
+    video = DepthVideo(cfg)
+    tn = TrackerNet(seed=1)
+    tracker = Tracker(
+        tn, video, cfg,
+        mono_predictor=lambda ts, img: stream.depths[int(ts)])
+    mf, fe = tracker.motion_filter, tracker.frontend
+    intr = stream.get_intrinsic()
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*vals)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    times = []
+    for i in range(N_FRAMES):
+        ts, img = stream[i][0], stream[i][1]
+        t0 = time.perf_counter()
+        mf.track(ts, img, intr)
+        fe()
+        # force a real device sync: block_until_ready is unreliable on the
+        # remote transport — read one scalar back instead
+        float(jax.numpy.asarray(video.poses)[0, 0])
+        times.append(time.perf_counter() - t0)
+        print(f"[bench] frame {i}: {times[-1]:.2f}s", file=sys.stderr,
+              flush=True)
 
-    steps_per_s = 1.0 / dt
+    steady = times[-N_STEADY:]
+    kf_per_s = N_STEADY / sum(steady)
     print(json.dumps({
-        "metric": "tracking_step_latency_replica_96edges",
-        "value": round(dt * 1e3, 3),
-        "unit": "ms",
-        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
+        "metric": "keyframe_fps_replica_full_pipeline",
+        "value": round(kf_per_s, 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(kf_per_s / BASELINE_KF_PER_S, 3),
     }))
 
 

@@ -18,6 +18,7 @@ exactly as depth_video.py:198-298, including the mono_thres edge filtering
 and the fallback to stage 1 when stage 2 has no usable edges.
 """
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -361,6 +362,9 @@ class DepthVideo:
     # ------------------------------------------------------------------
 
     def update_valid_depth_mask(self, up=True):
+        """Single fused jit, fully on-device: the old formulation pulled the
+        (M, H, W) mask to host and re-uploaded it, which costs ~0.5 s per
+        keyframe on a remote-device transport (~45 MB/s download)."""
         if up:
             dirty_index = np.where(self.dirty)[0]
             if len(dirty_index) == 0:
@@ -375,32 +379,18 @@ class DepthVideo:
         idx = np.concatenate([dirty_index, np.zeros(pad, np.int64)])
         disps = self.disps_up if up else self.disps
         intr = self.intrinsics * (self.down_scale if up else 1.0)
-        sel = disps[jnp.asarray(idx)]
-        depths = 1.0 / jnp.maximum(sel, 1e-8)
-        thresh = self.cfg["tracking"]["multiview_filter"]["thresh"] * jnp.mean(
-            depths, axis=(1, 2)
+        mv = self.cfg["tracking"]["multiview_filter"]
+        target = self.valid_depth_mask if up else self.valid_depth_mask_small
+        new_mask = _valid_mask_update(
+            self.poses, disps, intr, target, jnp.asarray(idx, jnp.int32),
+            jnp.int32(len(dirty_index)), float(mv["thresh"]),
+            int(mv["visible_num"]),
         )
-        counts = df_mod.depth_filter(
-            self.poses, disps, intr, jnp.asarray(idx), thresh
-        )
-        visible_num = self.cfg["tracking"]["multiview_filter"]["visible_num"]
-        multiview = counts >= visible_num
-        depths_masked = jnp.where(multiview, depths, jnp.nan)
-        med = jnp.nanmedian(
-            depths_masked.reshape(M, -1), axis=1
-        )
-        masks = multiview & (depths < 3 * med[:, None, None])
-        masks = np.asarray(masks)[: len(dirty_index)]
-        t = jnp.asarray(dirty_index)
         if up:
-            self.valid_depth_mask = self.valid_depth_mask.at[t].set(
-                jnp.asarray(masks)
-            )
+            self.valid_depth_mask = new_mask
             self.dirty[dirty_index] = False
         else:
-            self.valid_depth_mask_small = self.valid_depth_mask_small.at[t].set(
-                jnp.asarray(masks)
-            )
+            self.valid_depth_mask_small = new_mask
 
     # ------------------------------------------------------------------
     # export (depth_video.py:313-385)
@@ -439,3 +429,25 @@ def _upsample_merge(disps, disps_up, ix, mask, n_valid):
     valid = (jnp.arange(ix.shape[0]) < n_valid)[:, None, None]
     delta = jnp.where(valid, up - disps_up[ix], 0.0)
     return disps_up.at[ix].add(delta)
+
+
+@partial(jax.jit, static_argnames=("visible_num",))
+def _valid_mask_update(poses, disps, intrinsics, valid_mask, idx, n_valid,
+                       mv_thresh, visible_num):
+    """Multiview validity refresh for frames idx[:n_valid], merged into
+    valid_mask on-device (depth_video.py:326-361). The int8 delta
+    scatter-add is duplicate-safe: padded rows contribute zero."""
+    M = idx.shape[0]
+    sel = disps[idx]
+    depths = 1.0 / jnp.maximum(sel, 1e-8)
+    thresh = mv_thresh * jnp.mean(depths, axis=(1, 2))
+    counts = df_mod.depth_filter(poses, disps, intrinsics, idx, thresh)
+    multiview = counts >= visible_num
+    depths_masked = jnp.where(multiview, depths, jnp.nan)
+    med = jnp.nanmedian(depths_masked.reshape(M, -1), axis=1)
+    masks = multiview & (depths < 3 * med[:, None, None])
+
+    vm = valid_mask.astype(jnp.int8)
+    row_valid = (jnp.arange(M) < n_valid)[:, None, None]
+    delta = jnp.where(row_valid, masks.astype(jnp.int8) - vm[idx], 0)
+    return vm.at[idx].add(delta).astype(jnp.bool_)

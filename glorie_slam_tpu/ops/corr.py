@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 RADIUS = 3
 LEVELS = 4
@@ -175,16 +176,20 @@ def lookup_gather(plane, coords, radius: int = RADIUS):
 
 @partial(jax.jit, static_argnames=("radius", "num_levels"))
 def lookup_pyramid(pyramid, coords, radius: int = RADIUS,
-                   num_levels: int = LEVELS):
+                   num_levels: int = LEVELS, slots=None):
     """Full multi-level lookup over a LANES-layout pyramid.
 
-    pyramid: tuple of (E, hl, wl, npix); coords: (E, ht, wd, 2) level-0 [x,y].
-    Returns features (E, ht, wd, num_levels*rd^2) NHWC — levels concatenated
-    in order (reference corr.py:49-53), window flattened x-major/y-minor.
+    pyramid: tuple of (S, hl, wl, npix); coords: (E, ht, wd, 2) level-0
+    [x, y]. With ``slots`` (E,) int32, edge e reads pyramid row slots[e]
+    (slot-store mode: S is the store capacity); slots=None means row order
+    (S == E). Returns features (E, ht, wd, num_levels*rd^2) NHWC — levels
+    concatenated in order (reference corr.py:49-53), window flattened
+    x-major/y-minor.
 
     On TPU the lookup runs as the Pallas kernel (ops/pallas_corr.py, 4.4x
-    faster than the XLA einsum); other backends fall back to the separable
-    matmul formulation.
+    faster than the XLA einsum; slot mode uses scalar-prefetch indirect
+    block indexing so the store is never gathered); other backends fall
+    back to the separable matmul formulation.
     """
     E, ht, wd, _ = coords.shape
     npix = ht * wd
@@ -202,47 +207,104 @@ def lookup_pyramid(pyramid, coords, radius: int = RADIUS,
                 cpad = jnp.pad(c, ((0, 0), (0, pad), (0, 0)))
             else:
                 cpad = c
-            out = pallas_corr.lookup_pallas(plane, cpad / (2.0**lvl), radius)
+            if slots is None:
+                out = pallas_corr.lookup_pallas(
+                    plane, cpad / (2.0**lvl), radius)
+            else:
+                out = pallas_corr.lookup_pallas_slots(
+                    plane, slots, cpad / (2.0**lvl), radius)
             outs.append(out[:, :npix])
         else:
+            plane = pyramid[lvl] if slots is None else pyramid[lvl][slots]
             # (E, hl, wl, npix) -> (E, npix, hl, wl) for the fallback
-            plane = pyramid[lvl].transpose(0, 3, 1, 2)
+            plane = plane.transpose(0, 3, 1, 2)
             outs.append(lookup_separable(plane, c / (2.0**lvl), radius))
     feat = jnp.concatenate(outs, axis=-1)  # (E, npix, L*rd^2)
     return feat.reshape(E, ht, wd, -1)
 
 
 class CorrBlock:
-    """Precomputed all-pairs correlation pyramid (frontend 'volume' impl).
+    """Precomputed all-pairs correlation pyramid (frontend 'volume' impl)
+    in a fixed-capacity SLOT store.
 
-    Functional analogue of reference corr.py:25-65; stores the pyramid as a
-    tuple of arrays so it can live in a host-side edge store and be
-    concatenated / masked like any other per-edge state.
+    Functional analogue of reference corr.py:25-65, but the per-edge pyramid
+    rows (~27 MB/edge bf16 at Replica 40x80 scale) live at stable slot
+    indices in a capacity-S store: removing edges is pure host bookkeeping
+    (free-list) and adding edges writes only the new rows — the per-keyframe
+    multi-GB gather/concat churn of a compact row layout disappears. The
+    lookup consumes ``self.slots`` (compact edge order -> store row) via the
+    indirect Pallas kernel.
     """
 
     def __init__(self, fmap1, fmap2, num_levels: int = LEVELS,
-                 radius: int = RADIUS, store_dtype=jnp.bfloat16):
+                 radius: int = RADIUS, store_dtype=jnp.bfloat16,
+                 capacity: int = None):
+        from ..utils.buckets import bucket
+
         self.num_levels = num_levels
         self.radius = radius
+        E = fmap1.shape[0]
+        cap = max(capacity or 0, bucket(max(E, 1)))
         corr = all_pairs_corr_lanes(fmap1, fmap2).astype(store_dtype)
-        self.pyramid = tuple(build_pyramid_lanes(corr, num_levels))
+        levels = build_pyramid_lanes(corr, num_levels)
+        self.pyramid = tuple(
+            jnp.concatenate(
+                [lv, jnp.zeros((cap - E,) + lv.shape[1:], lv.dtype)], 0)
+            if cap > E else lv
+            for lv in levels
+        )
+        self.capacity = cap
+        self.slots = np.arange(E)
+        self._free = list(range(cap - 1, E - 1, -1))  # stack of free rows
 
     def __call__(self, coords):
         """coords (E, ht, wd, 2) -> (E, ht, wd, L*(2r+1)^2) NHWC."""
         return lookup_pyramid(
             self.pyramid, coords, radius=self.radius,
             num_levels=self.num_levels,
+            slots=jnp.asarray(self.slots, jnp.int32),
         )
 
-    def cat(self, other):
+    def _grow(self, need):
+        from ..utils.buckets import bucket
+
+        new_cap = bucket(self.capacity + need)
         self.pyramid = tuple(
-            jnp.concatenate([a, b], axis=0)
-            for a, b in zip(self.pyramid, other.pyramid)
+            jnp.concatenate(
+                [p, jnp.zeros((new_cap - self.capacity,) + p.shape[1:],
+                              p.dtype)], 0)
+            for p in self.pyramid
         )
+        self._free.extend(range(new_cap - 1, self.capacity - 1, -1))
+        self.capacity = new_cap
+
+    def cat(self, other):
+        """Append another block's edges: write its rows into free slots."""
+        src = other.slots
+        E_new = len(src)
+        if E_new > len(self._free):
+            self._grow(E_new - len(self._free))
+        dst = np.array([self._free.pop() for _ in range(E_new)])
+        src_d = jnp.asarray(src)
+        dst_d = jnp.asarray(dst)
+        self.pyramid = tuple(
+            p.at[dst_d].set(q[src_d])
+            for p, q in zip(self.pyramid, other.pyramid)
+        )
+        self.slots = np.concatenate([self.slots, dst])
         return self
 
     def __getitem__(self, mask_or_index):
-        self.pyramid = tuple(p[mask_or_index] for p in self.pyramid)
+        keep = np.asarray(mask_or_index)
+        if keep.dtype == bool:
+            freed = self.slots[~keep]
+            self.slots = self.slots[keep]
+        else:
+            sel = np.zeros(len(self.slots), bool)
+            sel[keep] = True
+            freed = self.slots[~sel]
+            self.slots = self.slots[keep]
+        self._free.extend(freed.tolist())
         return self
 
 

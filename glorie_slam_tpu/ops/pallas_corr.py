@@ -143,3 +143,51 @@ def lookup_pallas(plane_lanes, coords, radius: int = RADIUS,
     )(cc, plane_lanes.astype(jnp.bfloat16))
 
     return out.transpose(0, 2, 1)               # (E, npix, rd*rd)
+
+
+def _lookup_kernel_slots(slots_ref, coords_ref, plane_ref, out_ref, *,
+                         hl, wl, rd, band):
+    # slots_ref is consumed by the BlockSpec index_map only
+    _lookup_kernel(coords_ref, plane_ref, out_ref, hl=hl, wl=wl, rd=rd,
+                   band=band)
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret", "band"))
+def lookup_pallas_slots(plane_store, slots, coords, radius: int = RADIUS,
+                        interpret: bool = False, band: int = BAND):
+    """Windowed lookup with INDIRECT plane rows: edge e reads plane row
+    ``slots[e]`` of a fixed-capacity store via scalar-prefetch block
+    indexing — no (E, hl, wl, npix) gather is ever materialized, which is
+    what makes a slot-based (free-list) correlation store O(1) per edge
+    add/remove instead of O(store) per keyframe.
+
+    plane_store: (S, hl, wl, npix) pixel-minor planes; slots: (E,) int32;
+    coords: (E, npix, 2). Returns (E, npix, (2r+1)^2) f32 as lookup_pallas.
+    """
+    S, hl, wl, npix = plane_store.shape
+    E = slots.shape[0]
+    rd = 2 * radius + 1
+    if npix % PLANE != 0:
+        raise ValueError(f"npix={npix} must be a multiple of {PLANE}")
+
+    cc = jnp.nan_to_num(coords).transpose(0, 2, 1)
+    n_tiles = npix // PLANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, PLANE), lambda e, t, slots: (e, 0, t)),
+            pl.BlockSpec((1, hl, wl, PLANE),
+                         lambda e, t, slots: (slots[e], 0, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, rd * rd, PLANE),
+                               lambda e, t, slots: (e, 0, t)),
+    )
+    out = pl.pallas_call(
+        partial(_lookup_kernel_slots, hl=hl, wl=wl, rd=rd, band=band),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, rd * rd, npix), jnp.float32),
+        interpret=interpret,
+    )(slots.astype(jnp.int32), cc, plane_store.astype(jnp.bfloat16))
+
+    return out.transpose(0, 2, 1)

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..core.factor_graph import _graph_update_step
 from ..geom import alignment, ba as ba_mod
-from ..ops import depth_filter as df_mod
+from ..ops import depth_filter as df_mod, upsample as up_mod
 from ..utils.buckets import bucket
 
 
@@ -45,10 +45,10 @@ from ..utils.buckets import bucket
     ),
 )
 def dspo_rounds(update_apply, params,
-                poses, disps, intrinsics, zeros, mono_disps,
+                poses, disps, disps_up, intrinsics, zeros, mono_disps,
                 depth_scale, depth_shift, vmask_small, damping,
                 pyramid, net, inp, target, ii_act, jj_act, kk, edge_mask,
-                coords0, kx, n_kx_valid,
+                coords0, kx, n_kx_valid, slots,
                 tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask,
                 ba_frame_mask, is_ds_flags,
                 t0, t1, kbase_pd, counter,
@@ -62,8 +62,11 @@ def dspo_rounds(update_apply, params,
     Active-edge arrays are padded to E_pad (edge_mask marks real edges);
     the BA edge set is [inactive block | active block] with ii/jj = -1 on
     padding. ``adj``/``adj_mask`` index into that combined layout.
-    Returns (poses, disps, net, target, weight, damping, depth_scale,
-    depth_shift, vmask_small, upmask).
+    Returns (poses, disps, disps_up, net, target, weight, damping,
+    depth_scale, depth_shift, vmask_small). The convex upsample of the
+    final round's upmask runs INSIDE this jit (a host-side upsample call
+    costs ~0.5 s/call in eager dispatch+copy overhead on a remote-device
+    transport); rows kx[:n_kx_valid] of disps_up are refreshed.
     """
     Nbuf, h8, w8 = disps.shape
     npix = h8 * w8
@@ -77,7 +80,7 @@ def dspo_rounds(update_apply, params,
         net2, target2, weight2, eta_agg, upmask, _ = _graph_update_step(
             update_apply, params, poses, disps, intrinsics, pyramid, net,
             inp, target, ii_act, jj_act, kk, edge_mask, coords0,
-            num_frames=num_frames,
+            num_frames=num_frames, slots=slots,
         )
         weight2 = weight2 * edge_mask[:, None, None, None]
         # kx is padded to num_frames; merge only the valid rows (a masked
@@ -190,7 +193,14 @@ def dspo_rounds(update_apply, params,
               depth_scale, depth_shift, vmask_small, upmask0)
     carry, _ = jax.lax.scan(round_body, carry0, is_ds_flags)
     (poses, disps, net, target, weight, damping, dsc, dsh, vm, um) = carry
-    return poses, disps, net, target, weight, damping, dsc, dsh, vm, um
+
+    # fused convex upsample of the final round (depth_video.py:140-144);
+    # masked-delta scatter-add is duplicate-safe on the padded kx rows
+    up = up_mod.upsample_disp(disps[kx], jnp.moveaxis(um, -1, 1))
+    kx_valid3 = (jnp.arange(num_frames) < n_kx_valid)[:, None, None]
+    delta_up = jnp.where(kx_valid3, up - disps_up[kx], 0.0)
+    disps_up = disps_up.at[kx].add(delta_up)
+    return poses, disps, disps_up, net, target, weight, damping, dsc, dsh, vm
 
 
 @partial(
@@ -202,7 +212,7 @@ def dspo_rounds(update_apply, params,
     ),
 )
 def _dspo_rounds_packed(update_apply, params,
-                        poses, disps, intrinsics, zeros, mono_disps,
+                        poses, disps, disps_up, intrinsics, zeros, mono_disps,
                         depth_scale, depth_shift, vmask_small, damping,
                         pyramid, net, inp, target, tgt_inac, wgt_inac,
                         coords0, ints, floats, is_ds_flags, counter,
@@ -215,8 +225,8 @@ def _dspo_rounds_packed(update_apply, params,
     and ONE float32 vector — a single upload each instead of ~10 (the
     per-transfer latency of a remote device transport dominates otherwise).
 
-    ints layout:  [ii_act | jj_act | kk | kx(num_frames) | ii_ba | jj_ba |
-                   adj | t0, t1, kbase_pd, n_kx_valid];
+    ints layout:  [ii_act | jj_act | kk | slots | kx(num_frames) | ii_ba |
+                   jj_ba | adj | t0, t1, kbase_pd, n_kx_valid];
     floats: [edge_mask | adj_mask | ba_frame_mask].
     """
     o = 0
@@ -230,6 +240,7 @@ def _dspo_rounds_packed(update_apply, params,
     ii_act = take(E_pad)
     jj_act = take(E_pad)
     kk = take(E_pad)
+    slots = take(E_pad)
     kx = take(num_frames)
     ii_ba = take(EB)
     jj_ba = take(EB)
@@ -245,10 +256,11 @@ def _dspo_rounds_packed(update_apply, params,
         (E_pad + K_pd * Dmax + poses.shape[0],)) > 0
 
     return dspo_rounds(
-        update_apply, params, poses, disps, intrinsics, zeros, mono_disps,
+        update_apply, params, poses, disps, disps_up, intrinsics, zeros,
+        mono_disps,
         depth_scale, depth_shift, vmask_small, damping, pyramid, net, inp,
         target, ii_act, jj_act, kk, edge_mask, coords0, kx, n_kx_valid,
-        tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask, ba_frame_mask,
+        slots, tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask, ba_frame_mask,
         is_ds_flags, t0, t1, kbase_pd, counter,
         num_frames=num_frames, P_max=P_max, K_pd=K_pd, Dmax=Dmax,
         K_ds=K_ds, M_cur=M_cur, ba_iters=ba_iters, mv_thresh=mv_thresh,
@@ -271,7 +283,11 @@ def _stable_caps(graph):
     fcfg = v.cfg.get("tracking", {}).get("frontend", {})
     window = int(fcfg.get("window", 0))
     E_cap = bucket(graph.max_factors) if graph.max_factors > 0 else 0
-    span_cap = min(bucket(window + 16), v.buffer) if window else 0
+    # +8: edge spans exceed the window only by the proximity radius and the
+    # few-frame slack of rm-by-age; BA solve cost grows ~quadratically in
+    # this cap, so keep it tight (96 -> 64 at Replica window=50 measured
+    # -25% on the fused-rounds dispatch)
+    span_cap = min(bucket(window + 8), v.buffer) if window else 0
     return E_cap, span_cap
 
 
@@ -288,7 +304,8 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
     E_cap, span_cap = _stable_caps(graph)
     E = len(graph.ii)
     E_pad = max(bucket(E), E_cap)
-    net, inp, target, ii_p, jj_p, pyramid = graph._pad_edge_arrays(E_pad)
+    (net, inp, target, ii_p, jj_p, pyramid,
+     slots_p) = graph._pad_edge_arrays(E_pad)
 
     kx, kk = np.unique(graph.ii, return_inverse=True)
     n_kx = len(kx)
@@ -316,8 +333,10 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
         wgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
 
     EI = len(ii_in)
-    # floor the inactive bucket so EB stays constant while EI fluctuates
-    EI_pad = max(bucket(EI), E_cap // 2) if (EI or E_cap) else 0
+    # small floor: EB then takes ~3 values while EI fluctuates (each is one
+    # extra compile, amortized) instead of carrying a half-E_cap dead block
+    # through every BA build
+    EI_pad = max(bucket(EI), min(32, E_cap // 2)) if (EI or E_cap) else 0
     if EI_pad:
         padi = EI_pad - EI
         ii_in_p = np.concatenate([ii_in, -np.ones(padi, np.int64)])
@@ -356,6 +375,7 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
 
     ints = np.concatenate([
         ii_p.astype(np.int32), jj_p.astype(np.int32), kk_p,
+        slots_p.astype(np.int32),
         kx_p.astype(np.int32), ii_ba, jj_ba,
         adj.reshape(-1).astype(np.int32),
         np.array([t0, t1, kbase_pd, n_kx], np.int32),
@@ -410,7 +430,7 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
 
     out = _dspo_rounds_packed(
         graph.update_apply, graph.params,
-        v.poses, v.disps, v.intrinsics, v.zeros, v.mono_disps,
+        v.poses, v.disps, v.disps_up, v.intrinsics, v.zeros, v.mono_disps,
         v.depth_scale, v.depth_shift, v.valid_depth_mask_small,
         graph.damping,
         st["pyramid"], st["net"], st["inp"], st["target"],
@@ -422,10 +442,12 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         mv_thresh=float(mv["thresh"]), visible_num=int(mv["visible_num"]),
         mono_thres=float(mono_thres), lm=1e-4, ep=0.1, EP=EP,
     )
-    (poses, disps, net2, target2, weight2, damping, dsc, dsh, vm, um) = out
+    (poses, disps, disps_up, net2, target2, weight2, damping, dsc, dsh,
+     vm) = out
 
     v.poses = poses
     v.disps = disps
+    v.disps_up = disps_up
     v.depth_scale = dsc
     v.depth_shift = dsh
     v.valid_depth_mask_small = vm
@@ -437,5 +459,4 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     graph.net = net2[:E]
     graph.target = target2[:E]
     graph.weight = weight2[:E]
-    v.upsample(st["kx"], um[: st["n_kx"]])
     graph.age += rounds

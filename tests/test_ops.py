@@ -237,3 +237,22 @@ def test_pallas_lookup_band_paths_interpret():
         out = np.asarray(pallas_corr.lookup_pallas(
             plane.astype(jnp.bfloat16), c, interpret=True, band=16))
         np.testing.assert_allclose(ref, out, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_lookup_slots_interpret():
+    """Indirect (scalar-prefetch slot) lookup == dense lookup on permuted
+    store rows (interpret mode)."""
+    from glorie_slam_tpu.ops import pallas_corr
+
+    rng = np.random.default_rng(7)
+    S, hl, wl, npix = 6, 8, 16, 128
+    store = jnp.asarray(rng.normal(size=(S, hl, wl, npix)), jnp.float32)
+    E = 4
+    slots = jnp.asarray(rng.permutation(S)[:E].astype(np.int32))
+    coords = jnp.asarray(
+        rng.uniform(1, 7, size=(E, npix, 2)).astype(np.float32))
+    out_s = pallas_corr.lookup_pallas_slots(store, slots, coords,
+                                            interpret=True)
+    out_d = pallas_corr.lookup_pallas(store[slots], coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               atol=1e-5)
