@@ -21,15 +21,17 @@ from ..utils.buckets import bucket
 
 @partial(jax.jit, static_argnames=("update_apply", "num_frames"))
 def _graph_update_step(update_apply, params, poses, disps, intrinsics,
-                       pyramid, net, inp, target, ii, jj, kk, edge_mask,
-                       coords0, num_frames: int, slots=None):
+                       feat_pyr, net, inp, target, ii, jj, kk, edge_mask,
+                       coords0, num_frames: int):
     """Fused: reproject -> motion features -> corr lookup -> ConvGRU update.
 
     All edge arrays are padded to a bucket size; ``edge_mask`` marks real
-    edges. ``slots`` (E,) maps edge -> pyramid store row (None = row
-    order). Returns (net', target', weight', eta, upmask, coords1).
-    Parity: reference factor_graph.py:213-234 (minus the BA call, which the
-    caller dispatches through DepthVideo).
+    edges. ``feat_pyr`` is the per-FRAME feature-pyramid store from
+    ``corr.prep_feat_pyramid`` — the correlation windows are computed
+    in-kernel from the frames' features (ii/jj index it directly), no
+    per-edge volume exists. Returns (net', target', weight', eta, upmask,
+    coords1). Parity: reference factor_graph.py:213-234 (minus the BA
+    call, which the caller dispatches through DepthVideo).
     """
     ii_s = jnp.maximum(ii, 0)
     jj_s = jnp.maximum(jj, 0)
@@ -41,7 +43,7 @@ def _graph_update_step(update_apply, params, poses, disps, intrinsics,
     )
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    corr_feat = corr_mod.lookup_pyramid(pyramid, coords1, slots=slots)
+    corr_feat = corr_mod.lookup_pyramid_feats(feat_pyr, ii_s, jj_s, coords1)
 
     bf = jnp.bfloat16
     net2, delta, weight, eta, upmask = update_apply(
@@ -67,10 +69,6 @@ class FactorGraph:
         self.update_apply = update_apply
         self.params = params
         self.max_factors = max_factors
-        # corr store capacity: eviction keeps E <= max_factors, so one
-        # fixed-size slot store serves the whole run (stable jit shapes)
-        self.corr_capacity = (bucket(max_factors) if max_factors > 0
-                              else None)
         self.corr_impl = corr_impl
         self.h8, self.w8 = video.h8, video.w8
         self.coords0 = projective.coords_grid(self.h8, self.w8)
@@ -81,7 +79,6 @@ class FactorGraph:
         # bumped on any edge-set or per-edge-state mutation; the fused-rounds
         # wrapper (tracking/fused.py) keys its padded-state cache on this
         self.version = 0
-        self.corr: Optional[corr_mod.CorrBlock] = None
         self.net = None      # (E, h8, w8, 128)
         self.inp = None      # (E, h8, w8, 128)
         self.target = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
@@ -121,10 +118,13 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
-        # cap total factors, evicting oldest (factor_graph.py:112-116)
+        # cap total factors, evicting oldest (factor_graph.py:112-116; the
+        # reference gates on ``corr is not None`` == the frontend "volume"
+        # impl — the backend never evicts)
         if (self.max_factors > 0 and
                 len(self.ii) + len(ii) > self.max_factors
-                and self.corr is not None and remove):
+                and self.corr_impl == "volume" and len(self.ii) > 0
+                and remove):
             ix = np.argsort(self.age)[::-1]  # oldest have largest age
             drop = np.zeros(len(self.ii), bool)
             n_drop = len(self.ii) + len(ii) - self.max_factors
@@ -136,15 +136,9 @@ class FactorGraph:
         jj_d = jnp.asarray(jj, jnp.int32)
         net = v.nets[ii_d].astype(jnp.bfloat16)
         inp = v.inps[ii_d].astype(jnp.bfloat16)
-
-        if self.corr_impl == "volume":
-            f1 = jnp.moveaxis(v.fmaps[ii_d], -1, 1)
-            f2 = jnp.moveaxis(v.fmaps[jj_d], -1, 1)
-            if self.corr is None:
-                self.corr = corr_mod.CorrBlock(
-                    f1, f2, capacity=self.corr_capacity)
-            else:
-                self.corr = self.corr.cat(corr_mod.CorrBlock(f1, f2))
+        # no per-edge correlation state: lookups index the per-frame
+        # feature-pyramid store by (ii, jj) directly (corr.py
+        # lookup_pyramid_feats) — adding/removing edges touches nothing
 
         target, _ = v.reproject(ii_d, jj_d)
         weight = jnp.zeros_like(target)
@@ -183,8 +177,6 @@ class FactorGraph:
         self.ii, self.jj, self.age = (
             self.ii[keep], self.jj[keep], self.age[keep]
         )
-        if self.corr is not None:
-            self.corr = self.corr[keep_d]
         if self.net is not None:
             self.net = self.net[keep_d]
         if self.inp is not None:
@@ -226,7 +218,7 @@ class FactorGraph:
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
-        self.corr = self.net = self.inp = None
+        self.net = self.inp = None
         self.target = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
         self.weight = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
 
@@ -235,11 +227,8 @@ class FactorGraph:
     # ------------------------------------------------------------------
 
     def _pad_edge_arrays(self, E_pad):
-        """Pad per-edge device state to the bucket size.
-
-        The corr pyramid is NOT padded or gathered: the store passes
-        through as-is and ``slots_p`` maps (padded) edge order to store
-        rows (pad rows read slot 0, masked downstream)."""
+        """Pad per-edge device state to the bucket size (padding edges have
+        ii = jj = -1 and zero state)."""
         E = len(self.ii)
         pad = E_pad - E
 
@@ -252,10 +241,8 @@ class FactorGraph:
 
         ii_p = np.concatenate([self.ii, -np.ones(pad, np.int64)]).astype(np.int32)
         jj_p = np.concatenate([self.jj, -np.ones(pad, np.int64)]).astype(np.int32)
-        slots_p = np.concatenate(
-            [self.corr.slots, np.zeros(pad, np.int64)]).astype(np.int32)
         return (padz(self.net), padz(self.inp), padz(self.target),
-                ii_p, jj_p, self.corr.pyramid, slots_p)
+                ii_p, jj_p)
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
                motion_only=False, opt_type="pose_depth"):
@@ -266,8 +253,7 @@ class FactorGraph:
         v = self.video
         E = len(self.ii)
         E_pad = bucket(E)
-        (net, inp, target, ii_p, jj_p, pyramid,
-         slots_p) = self._pad_edge_arrays(E_pad)
+        net, inp, target, ii_p, jj_p = self._pad_edge_arrays(E_pad)
 
         kx, kk = np.unique(self.ii, return_inverse=True)
         M_pad = bucket(len(kx))
@@ -278,12 +264,12 @@ class FactorGraph:
             np.concatenate([np.ones(E), np.zeros(E_pad - E)]).astype(np.float32)
         )
 
+        feat_pyr = corr_mod.prep_feat_pyramid(v.fmaps)
         net2, target2, weight2, eta, upmask, _ = _graph_update_step(
             self.update_apply, self.params, v.poses, v.disps, v.intrinsics,
-            pyramid, net, inp, target,
+            feat_pyr, net, inp, target,
             jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p),
             edge_mask, self.coords0, num_frames=M_pad,
-            slots=jnp.asarray(slots_p),
         )
         self.net = net2[:E]
         self.target = target2[:E]
@@ -575,9 +561,12 @@ class FactorGraph:
 def _lowmem_chunk_step(update_apply, params, fmaps, net, inp, coords1, motn,
                        ii, jj, kk, edge_mask, num_frames: int):
     """AltCorr chunk: compute chunk correlation on the fly + GRU update
-    (reference factor_graph.py:268-295 update_lowmem inner loop)."""
-    fm = jnp.moveaxis(fmaps, -1, 1)  # (N, C, h, w)
-    corr_feat = corr_mod.alt_corr_chunk(fm, coords1, ii, jj)
+    (reference factor_graph.py:268-295 update_lowmem inner loop). The
+    correlation windows come straight from the frames' feature pyramids —
+    the exact ◆altcorr semantics (src/lib/altcorr_kernel.cu:28-355): no
+    chunk volume is ever materialized."""
+    feat_pyr = corr_mod.prep_feat_pyramid(fmaps)
+    corr_feat = corr_mod.lookup_pyramid_feats(feat_pyr, ii, jj, coords1)
     bf = jnp.bfloat16
     net2, delta, weight, eta, upmask = update_apply(
         params, net.astype(bf), inp.astype(bf), corr_feat.astype(bf),

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import pallas_corr
+
 RADIUS = 3
 LEVELS = 4
 
@@ -100,6 +102,97 @@ def build_pyramid_lanes(corr, num_levels: int = LEVELS):
         corr = _avg_pool2x2_lanes(pyramid[-1]).astype(corr.dtype)
         pyramid.append(corr)
     return pyramid
+
+
+def pool_feat_levels(f, num_levels: int = LEVELS):
+    """Average-pool CHANNEL-LAST feature maps down the pyramid.
+
+    f: (..., h, w, C) -> list of num_levels-1 arrays (..., h/2^l, w/2^l, C).
+    Correlating against these pooled features equals pooling the all-pairs
+    correlation volume over its target dims (pooling is linear in f2), so
+    they are a drop-in, never-materialize-the-volume replacement for
+    ``build_pyramid`` levels 1+ (reference corr.py:49-53).
+    """
+    outs = []
+    for _ in range(num_levels - 1):
+        *lead, h, w, C = f.shape
+        h2, w2 = h // 2, w // 2
+        f = f[..., : h2 * 2, : w2 * 2, :].reshape(
+            *lead, h2, 2, w2, 2, C
+        ).mean(axis=(-4, -2))
+        outs.append(f)
+    return outs
+
+
+def prep_feat_pyramid(fmaps, num_levels: int = LEVELS):
+    """Build the per-frame lookup stores from the video's feature maps.
+
+    fmaps: (N, h8, w8, C) bf16 -> tuple:
+      level 0: (N, npix_pad, C) flat pixel-major rows, zero-padded to a
+               multiple of the Pallas lane tile (the f1/level-0 f2 store);
+      levels 1+: (N, hl, wl, C) average-pooled planes.
+    Call once per fused program (cheap: one pass over fmaps); pass the
+    result to ``lookup_pyramid_feats``.
+    """
+    N, h8, w8, C = fmaps.shape
+    npix = h8 * w8
+    pad = (-npix) % pallas_corr.PLANE
+    flat = fmaps.reshape(N, npix, C)
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((N, pad, C), flat.dtype)], axis=1)
+    return (flat,) + tuple(pool_feat_levels(fmaps, num_levels))
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS):
+    """Full multi-level windowed lookup computed straight from FEATURES.
+
+    feat_pyr: stores from ``prep_feat_pyramid``; iis/jjs: (E,) source/target
+    FRAME indices; coords: (E, ht, wd, 2) level-0 [x, y]. Returns
+    (E, ht, wd, L*rd^2) NHWC, levels concatenated in order, window
+    flattened x-major — the same values as ``lookup_pyramid`` over per-edge
+    all-pairs volumes of these frames, without ever building a volume
+    (per-edge cost drops from ~27 MB of HBM volume rows to two ~1 MB
+    feature planes; see pallas_corr.lookup_feats_pallas).
+    """
+    E, ht, wd, _ = coords.shape
+    npix = ht * wd
+    f1_store = feat_pyr[0]
+    N, npix_pad, C = f1_store.shape
+    c = coords.reshape(E, npix, 2)
+    if npix_pad != npix:
+        c = jnp.concatenate(
+            [c, jnp.zeros((E, npix_pad - npix, 2), c.dtype)], axis=1)
+    iis = jnp.asarray(iis, jnp.int32)
+    jjs = jnp.asarray(jjs, jnp.int32)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    outs = []
+    levels = [(ht, wd)] + [
+        (p.shape[1], p.shape[2]) for p in feat_pyr[1:]
+    ]
+    for lvl, (hl, wl) in enumerate(levels):
+        f2_store = (f1_store if lvl == 0
+                    else feat_pyr[lvl].reshape(N, hl * wl, C))
+        if on_tpu:
+            out = pallas_corr.lookup_feats_pallas(
+                f1_store, f2_store, iis, jjs, c / (2.0 ** lvl), hl, wl,
+                radius)
+        else:
+            # fallback: materialize this level's per-edge planes (tests /
+            # CPU scale only) and reuse the separable-matmul lookup
+            vol = jnp.einsum(
+                "epc,eqc->epq",
+                f1_store[iis][:, :npix].astype(jnp.float32) / 4.0,
+                f2_store[jjs][:, : hl * wl].astype(jnp.float32) / 4.0,
+                preferred_element_type=jnp.float32,
+            ).reshape(E, npix, hl, wl)
+            out = lookup_separable(vol, c[:, :npix] / (2.0 ** lvl), radius)
+            outs.append(out)
+            continue
+        outs.append(out[:, :npix])
+    feat = jnp.concatenate(outs, axis=-1)
+    return feat.reshape(E, ht, wd, -1)
 
 
 def _hat_weights(pos, size: int, radius: int):

@@ -145,6 +145,115 @@ def lookup_pallas(plane_lanes, coords, radius: int = RADIUS,
     return out.transpose(0, 2, 1)               # (E, npix, rd*rd)
 
 
+def _lookup_feats_kernel(iis_ref, jjs_ref, coords_ref, f1_ref, f2_ref,
+                         out_ref, *, hl, wl, rd, band, scale):
+    """Grid step: one edge x PLANE pixels, correlation computed IN-KERNEL.
+
+    Instead of reading precomputed correlation-volume rows from HBM (the
+    bandwidth floor of ``_lookup_kernel``: ~3.5 GB/lookup at Replica scale),
+    stage 0 rebuilds exactly the banded plane tile the hat reduction needs
+    with ONE MXU matmul over the per-frame feature maps already resident in
+    VMEM: plane[h, w, p] = <f1[p], f2[h, w]> * scale. Average-pooled pyramid
+    levels and bilinear taps are linear in f2, so correlating against the
+    POOLED features is bit-for-the-same-math as pooling the volume
+    (reference corr.py:49-76 semantics, droid's corr pyramid).
+
+    f1_ref: (1, PLANE, C) source-frame features for the pixel tile;
+    f2_ref: (1, hl*wl, C) target-frame pooled features (whole plane);
+    coords_ref/out_ref as in ``_lookup_kernel``.
+    """
+    x = coords_ref[0, 0, :][None, :]            # (1, PLANE)
+    y = coords_ref[0, 1, :][None, :]
+    f1 = f1_ref[0]                              # (PLANE, C) bf16
+
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wl, 1), 0).astype(
+        jnp.float32
+    )
+
+    def corr_rows(row_lo, nrows):
+        """(nrows, wl, PLANE) f32 correlation plane rows [row_lo, +nrows)."""
+        rows = f2_ref[0, pl.ds(row_lo * wl, nrows * wl), :]   # (nrows*wl, C)
+        p = jax.lax.dot_general(
+            rows, f1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return p.reshape(nrows, wl, PLANE) * scale
+
+    if band is not None and band < hl:
+        y_min = jnp.min(y)
+        y_max = jnp.max(y)
+        ybase = jnp.clip(
+            jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band
+        )
+        top = jnp.floor(y_max) + (RADIUS + 1)
+        covered = top <= (ybase + band - 1).astype(jnp.float32)
+
+        def slab(_):
+            return _row_pass(corr_rows(ybase, band), y, band, rd, row0=ybase)
+
+        def full(_):
+            return _row_pass(corr_rows(0, hl), y, hl, rd)
+
+        tmps = jax.lax.cond(covered, slab, full, None)
+    else:
+        tmps = _row_pass(corr_rows(0, hl), y, hl, rd)
+
+    for a in range(rd):
+        wgtx = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - (x - RADIUS + a)))
+        for b in range(rd):
+            out_ref[0, a * rd + b, :] = jnp.sum(tmps[b] * wgtx, axis=0)
+
+
+@partial(jax.jit,
+         static_argnames=("hl", "wl", "radius", "interpret", "band", "scale"))
+def lookup_feats_pallas(f1_store, f2_store, iis, jjs, coords, hl: int,
+                        wl: int, radius: int = RADIUS,
+                        interpret: bool = False, band: int = BAND,
+                        scale: float = 1.0 / 16.0):
+    """Windowed bilinear correlation lookup straight from FEATURE maps.
+
+    f1_store: (N, npix0, C) level-0 features (pixel-major rows);
+    f2_store: (N, hl*wl, C) THIS level's pooled features (== f1_store at
+              level 0); iis/jjs: (E,) int32 source/target FRAME indices;
+    coords: (E, npix0, 2) fractional [x, y] in level coordinates.
+    Returns (E, npix0, (2r+1)^2) f32, x-major window flattening — equals
+    ``lookup_pallas`` over ``all_pairs_corr_lanes`` planes of the same
+    frames (the all-pairs volume is never materialized; ◆altcorr semantics,
+    reference src/lib/altcorr_kernel.cu:28-355, generalized to every level).
+    """
+    N, npix0, C = f1_store.shape
+    E = iis.shape[0]
+    rd = 2 * radius + 1
+    if npix0 % PLANE != 0:
+        raise ValueError(f"npix={npix0} must be a multiple of {PLANE}")
+
+    cc = jnp.nan_to_num(coords).transpose(0, 2, 1)
+    n_tiles = npix0 // PLANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, PLANE), lambda e, t, iis, jjs: (e, 0, t)),
+            pl.BlockSpec((1, PLANE, C),
+                         lambda e, t, iis, jjs: (iis[e], t, 0)),
+            pl.BlockSpec((1, hl * wl, C),
+                         lambda e, t, iis, jjs: (jjs[e], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rd * rd, PLANE),
+                               lambda e, t, iis, jjs: (e, 0, t)),
+    )
+    out = pl.pallas_call(
+        partial(_lookup_feats_kernel, hl=hl, wl=wl, rd=rd, band=band,
+                scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, rd * rd, npix0), jnp.float32),
+        interpret=interpret,
+    )(iis.astype(jnp.int32), jjs.astype(jnp.int32), cc,
+      f1_store.astype(jnp.bfloat16), f2_store.astype(jnp.bfloat16))
+
+    return out.transpose(0, 2, 1)
+
+
 def _lookup_kernel_slots(slots_ref, coords_ref, plane_ref, out_ref, *,
                          hl, wl, rd, band):
     # slots_ref is consumed by the BlockSpec index_map only

@@ -44,7 +44,7 @@ class Frontend:
     def _update(self):
         """Per-keyframe local BA (reference frontend.py:40-86)."""
         self.t1 += 1
-        if self.graph.corr is not None:
+        if len(self.graph.ii) > 0:
             self.graph.rm_factors(self.graph.age > self.max_age, store=True)
 
         self.graph.add_proximity_factors(

@@ -32,7 +32,8 @@ import numpy as np
 
 from ..core.factor_graph import _graph_update_step
 from ..geom import alignment, ba as ba_mod
-from ..ops import depth_filter as df_mod, upsample as up_mod
+from ..ops import corr as corr_mod, depth_filter as df_mod, \
+    upsample as up_mod
 from ..utils.buckets import bucket
 
 
@@ -47,8 +48,8 @@ from ..utils.buckets import bucket
 def dspo_rounds(update_apply, params,
                 poses, disps, disps_up, intrinsics, zeros, mono_disps,
                 depth_scale, depth_shift, vmask_small, damping,
-                pyramid, net, inp, target, ii_act, jj_act, kk, edge_mask,
-                coords0, kx, n_kx_valid, slots,
+                feat_pyr, net, inp, target, ii_act, jj_act, kk, edge_mask,
+                coords0, kx, n_kx_valid,
                 tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask,
                 ba_frame_mask, is_ds_flags,
                 t0, t1, kbase_pd, counter,
@@ -78,9 +79,9 @@ def dspo_rounds(update_apply, params,
         (poses, disps, net, target, _w, damping, dsc, dsh, vm, _um) = carry
 
         net2, target2, weight2, eta_agg, upmask, _ = _graph_update_step(
-            update_apply, params, poses, disps, intrinsics, pyramid, net,
+            update_apply, params, poses, disps, intrinsics, feat_pyr, net,
             inp, target, ii_act, jj_act, kk, edge_mask, coords0,
-            num_frames=num_frames, slots=slots,
+            num_frames=num_frames,
         )
         weight2 = weight2 * edge_mask[:, None, None, None]
         # kx is padded to num_frames; merge only the valid rows (a masked
@@ -108,8 +109,17 @@ def dspo_rounds(update_apply, params,
 
         def ds_branch(poses, disps, dsc, dsh, vm):
             # -- refresh 1/8-res multiview validity (depth_video.py:326-361)
+            # Deviation from the reference (which refreshes frames
+            # [0, counter) every stage-2 round): only the trailing M_cur
+            # frames ending at t1 are refreshed — frames further back have
+            # frozen disps AND frozen neighbor poses (outside the BA
+            # window), so their mask/scale/shift recompute to the values
+            # they already hold. Keeping M_cur a config-derived constant
+            # (the BA window span) keeps the jit shape key fixed while the
+            # buffer grows.
             i_ar = jnp.arange(M_cur, dtype=jnp.int32)
-            idx = jnp.where(i_ar < counter, i_ar, 0)
+            base = jnp.maximum(t1 - M_cur, 0)
+            idx = jnp.where(base + i_ar < counter, base + i_ar, 0)
             sel = disps[idx]
             depths = 1.0 / jnp.maximum(sel, 1e-8)
             thr = mv_thresh * jnp.mean(depths, axis=(1, 2))
@@ -214,7 +224,7 @@ def dspo_rounds(update_apply, params,
 def _dspo_rounds_packed(update_apply, params,
                         poses, disps, disps_up, intrinsics, zeros, mono_disps,
                         depth_scale, depth_shift, vmask_small, damping,
-                        pyramid, net, inp, target, tgt_inac, wgt_inac,
+                        fmaps, net, inp, target, tgt_inac, wgt_inac,
                         coords0, ints, floats, is_ds_flags, counter,
                         *, E_pad: int, EB: int, num_frames: int,
                         P_max: int, K_pd: int, Dmax: int, K_ds: int,
@@ -225,10 +235,14 @@ def _dspo_rounds_packed(update_apply, params,
     and ONE float32 vector — a single upload each instead of ~10 (the
     per-transfer latency of a remote device transport dominates otherwise).
 
-    ints layout:  [ii_act | jj_act | kk | slots | kx(num_frames) | ii_ba |
+    ints layout:  [ii_act | jj_act | kk | kx(num_frames) | ii_ba |
                    jj_ba | adj | t0, t1, kbase_pd, n_kx_valid];
     floats: [edge_mask | adj_mask | ba_frame_mask].
+
+    The correlation stores are prepped HERE, once per fused program (not
+    per round): pooling/padding the full fmaps buffer is one cheap pass.
     """
+    feat_pyr = corr_mod.prep_feat_pyramid(fmaps)
     o = 0
 
     def take(n):
@@ -240,7 +254,6 @@ def _dspo_rounds_packed(update_apply, params,
     ii_act = take(E_pad)
     jj_act = take(E_pad)
     kk = take(E_pad)
-    slots = take(E_pad)
     kx = take(num_frames)
     ii_ba = take(EB)
     jj_ba = take(EB)
@@ -258,9 +271,9 @@ def _dspo_rounds_packed(update_apply, params,
     return dspo_rounds(
         update_apply, params, poses, disps, disps_up, intrinsics, zeros,
         mono_disps,
-        depth_scale, depth_shift, vmask_small, damping, pyramid, net, inp,
+        depth_scale, depth_shift, vmask_small, damping, feat_pyr, net, inp,
         target, ii_act, jj_act, kk, edge_mask, coords0, kx, n_kx_valid,
-        slots, tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask, ba_frame_mask,
+        tgt_inac, wgt_inac, ii_ba, jj_ba, adj, adj_mask, ba_frame_mask,
         is_ds_flags, t0, t1, kbase_pd, counter,
         num_frames=num_frames, P_max=P_max, K_pd=K_pd, Dmax=Dmax,
         K_ds=K_ds, M_cur=M_cur, ba_iters=ba_iters, mv_thresh=mv_thresh,
@@ -304,8 +317,7 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
     E_cap, span_cap = _stable_caps(graph)
     E = len(graph.ii)
     E_pad = max(bucket(E), E_cap)
-    (net, inp, target, ii_p, jj_p, pyramid,
-     slots_p) = graph._pad_edge_arrays(E_pad)
+    net, inp, target, ii_p, jj_p = graph._pad_edge_arrays(E_pad)
 
     kx, kk = np.unique(graph.ii, return_inverse=True)
     n_kx = len(kx)
@@ -333,10 +345,11 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
         wgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
 
     EI = len(ii_in)
-    # small floor: EB then takes ~3 values while EI fluctuates (each is one
-    # extra compile, amortized) instead of carrying a half-E_cap dead block
-    # through every BA build
-    EI_pad = max(bucket(EI), min(32, E_cap // 2)) if (EI or E_cap) else 0
+    # pin the inactive bucket to E_cap: EB is then a single value for the
+    # whole run. A fluctuating bucket looks cheap (one compile per value)
+    # but on this host an XLA compile of the fused program costs 1-4 MIN —
+    # carrying a dead padded block through the BA build is far cheaper.
+    EI_pad = max(bucket(EI), E_cap) if (EI or E_cap) else 0
     if EI_pad:
         padi = EI_pad - EI
         ii_in_p = np.concatenate([ii_in, -np.ones(padi, np.int64)])
@@ -363,7 +376,10 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
     kbase_pd = max(0, min(kbase_pd, v.buffer - K_pd))
     P_max = min(max(bucket(max(t1 - t0, 1)), span_cap), v.buffer)
     deg = int(np.bincount(comb_ii - kbase_pd, minlength=1).max())
-    Dmax = max(bucket(deg), 32 if span_cap else 0)
+    # floor at 64 in steady state: per-frame degree hovers around the
+    # 24/32/48 bucket edges frame-to-frame, and each crossing would be a
+    # fresh minutes-long compile of the fused program
+    Dmax = max(bucket(deg), 64 if span_cap else 0)
     adj, adj_mask = ba_mod.build_adjacency(ii_ba, EB, kbase_pd, K_pd, Dmax)
 
     ba_frame_mask = np.zeros(v.buffer, np.float32)
@@ -375,7 +391,6 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
 
     ints = np.concatenate([
         ii_p.astype(np.int32), jj_p.astype(np.int32), kk_p,
-        slots_p.astype(np.int32),
         kx_p.astype(np.int32), ii_ba, jj_ba,
         adj.reshape(-1).astype(np.int32),
         np.array([t0, t1, kbase_pd, n_kx], np.int32),
@@ -386,7 +401,7 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
     return dict(
         E=E, E_pad=E_pad, EB=EB, M_pad=M_pad, n_kx=n_kx, kx=kx,
         P_max=P_max, K_pd=K_pd, Dmax=Dmax, K_ds=K_ds,
-        net=net, inp=inp, target=target, weight=None, pyramid=pyramid,
+        net=net, inp=inp, target=target, weight=None,
         tgt_in=tgt_in, wgt_in=wgt_in,
         ints=jnp.asarray(ints), floats=jnp.asarray(floats),
     )
@@ -417,9 +432,9 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         graph._fused_cache = cache
     st = cache["st"]
 
-    # power-of-two ladder: M_cur is the only remaining growth-driven
-    # static, ~log2(buffer) recompiles over a whole run
-    M_cur = min(_pow2_bucket(max(v.counter, 1)), v.buffer)
+    # the stage-2 refresh window equals the BA edge span (config-derived,
+    # already static) — NO growth-driven static remains in the jit key
+    M_cur = st["K_ds"]
     dspo_on = (v.BA_type == "DSPO") and alternate and v.counter > 0
     flags = np.array(
         [1 if (dspo_on and r % 2 == 1) else 0 for r in range(rounds)],
@@ -433,7 +448,7 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         v.poses, v.disps, v.disps_up, v.intrinsics, v.zeros, v.mono_disps,
         v.depth_scale, v.depth_shift, v.valid_depth_mask_small,
         graph.damping,
-        st["pyramid"], st["net"], st["inp"], st["target"],
+        v.fmaps, st["net"], st["inp"], st["target"],
         st["tgt_in"], st["wgt_in"], graph.coords0,
         st["ints"], st["floats"], jnp.asarray(flags), v.counter,
         E_pad=st["E_pad"], EB=st["EB"], num_frames=st["M_pad"],

@@ -256,3 +256,53 @@ def test_pallas_lookup_slots_interpret():
     out_d = pallas_corr.lookup_pallas(store[slots], coords, interpret=True)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
                                atol=1e-5)
+
+
+def test_feats_lookup_matches_corr_block():
+    """lookup_pyramid_feats (the production path: per-frame pooled feature
+    stores, no volume) == CorrBlock volume lookup on the same frames."""
+    rng = np.random.default_rng(11)
+    N, C, ht, wd = 5, 16, 16, 16
+    fmaps_cf = jnp.asarray(rng.normal(size=(N, C, ht, wd)), jnp.float32)
+    ii = jnp.array([0, 2, 3])
+    jj = jnp.array([1, 3, 0])
+    coords = jnp.asarray(rng.uniform(1, 13, (3, ht, wd, 2)), jnp.float32)
+    block = corr.CorrBlock(fmaps_cf[ii], fmaps_cf[jj],
+                           store_dtype=jnp.float32)
+    a = np.asarray(block(coords))
+
+    fmaps = jnp.moveaxis(fmaps_cf, 1, -1)          # (N, ht, wd, C)
+    pyr = corr.prep_feat_pyramid(fmaps.astype(jnp.bfloat16))
+    b = np.asarray(corr.lookup_pyramid_feats(pyr, ii, jj, coords))
+    assert b.shape == a.shape == (3, ht, wd, 4 * 49)
+    np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+
+
+def test_feats_lookup_pallas_interpret_matches_fallback():
+    """The in-kernel-correlation Pallas path (interpret mode) == the XLA
+    fallback volume path, including the non-128-multiple npix padding."""
+    from glorie_slam_tpu.ops import pallas_corr
+
+    rng = np.random.default_rng(12)
+    N, C, hl, wl = 4, 16, 10, 16   # npix=160: exercises lane padding
+    fmaps = jnp.asarray(rng.normal(size=(N, hl, wl, C)), jnp.float32)
+    pyr = corr.prep_feat_pyramid(fmaps.astype(jnp.bfloat16))
+    iis = jnp.array([0, 3], jnp.int32)
+    jjs = jnp.array([2, 1], jnp.int32)
+    npix = hl * wl
+    npix_pad = pyr[0].shape[1]
+    coords = jnp.asarray(rng.uniform(1, 8, (2, npix, 2)), jnp.float32)
+    cpad = jnp.concatenate(
+        [coords, jnp.zeros((2, npix_pad - npix, 2))], axis=1)
+
+    out_k = pallas_corr.lookup_feats_pallas(
+        pyr[0], pyr[0], iis, jjs, cpad, hl, wl, interpret=True)[:, :npix]
+
+    vol = jnp.einsum(
+        "epc,eqc->epq",
+        pyr[0][iis][:, :npix].astype(jnp.float32) / 4.0,
+        pyr[0][jjs][:, :npix].astype(jnp.float32) / 4.0,
+    ).reshape(2, npix, hl, wl)
+    out_f = corr.lookup_separable(vol, coords)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_f),
+                               atol=2e-2, rtol=2e-2)

@@ -28,8 +28,8 @@ def _run(args, statics, placement=None):
         es, rep = placement
         for k in EDGE_KEYS:
             args[k] = jax.device_put(args[k], es)
-        args["pyramid"] = tuple(
-            jax.device_put(p, es) for p in args["pyramid"])
+        args["feat_pyr"] = tuple(
+            jax.device_put(p, rep) for p in args["feat_pyr"])
         for k in REP_KEYS:
             args[k] = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, rep), args[k])
