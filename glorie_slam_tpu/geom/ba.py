@@ -192,14 +192,19 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
         )
 
         # ---- pose Hessian (dense, sentinel row P_max absorbs fixed poses)
-        H = jnp.zeros((P_max + 1, P_max + 1, 6, 6), poses.dtype)
-        H = H.at[slot_i, slot_i].add(Hii)
-        H = H.at[slot_i, slot_j].add(Hij)
-        H = H.at[slot_j, slot_i].add(Hji)
-        H = H.at[slot_j, slot_j].add(Hjj)
-        v = jnp.zeros((P_max + 1, 6), poses.dtype)
-        v = v.at[slot_i].add(vi)
-        v = v.at[slot_j].add(vj)
+        # one-hot contractions instead of block scatter-adds (see the Schur
+        # assembly below for why)
+        Oi = (slot_i[:, None] == jnp.arange(P_max + 1)[None, :]).astype(
+            poses.dtype)                                 # (E, P+1)
+        Oj = (slot_j[:, None] == jnp.arange(P_max + 1)[None, :]).astype(
+            poses.dtype)
+        def place(Oa, blk, Ob):
+            return jnp.einsum("epij,eq->pqij", Oa[:, :, None, None] * blk[:, None],
+                              Ob, precision=_HI)
+        H = (place(Oi, Hii, Oi) + place(Oi, Hij, Oj)
+             + place(Oj, Hji, Oi) + place(Oj, Hjj, Oj))
+        v = (jnp.einsum("ep,ei->pi", Oi, vi, precision=_HI)
+             + jnp.einsum("ep,ei->pi", Oj, vj, precision=_HI))
 
         if motion_only:
             Hm = H[:P_max, :P_max].transpose(0, 2, 1, 3).reshape(P_max * 6, P_max * 6)
@@ -208,11 +213,13 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
             poses = _apply_pose_retr(poses, dx, t0, t1, P_max)
             return poses, disps
 
-        # ---- depth diagonal C and rhs w (per window frame)
-        C = jnp.zeros((K_max + 1, npix), poses.dtype)
-        C = C.at[kidx].add(Ce)
-        wz = jnp.zeros((K_max + 1, npix), poses.dtype)
-        wz = wz.at[kidx].add(wze)
+        # ---- depth diagonal C and rhs w (per window frame): edge->frame
+        # segment sums as a one-hot matmul (rides the MXU; a row scatter of
+        # E x npix serializes)
+        Ok = (kidx[:, None] == jnp.arange(K_max + 1)[None, :]).astype(
+            poses.dtype)                                 # (E, K+1)
+        C = jnp.einsum("ek,ep->kp", Ok, Ce, precision=_HI)
+        wz = jnp.einsum("ek,ep->kp", Ok, wze, precision=_HI)
         C = C[:K_max] + m_sens * alpha + (1 - m_sens) * eta_win
         disp_win = jax.lax.dynamic_slice(
             disps, (kbase, 0, 0), (K_max, ht, wd)
@@ -244,9 +251,18 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
                               precision=_HI)
         ev_all = jnp.einsum("kldp,kp->kld", rq_all, wz, precision=_HI)
 
-        S0 = jnp.zeros((P_max + 1, P_max + 1, 6, 6), poses.dtype)
-        S = S0.at[slots_all[:, :, None], slots_all[:, None, :]].add(gram_all)
-        vs = jnp.zeros((P_max + 1, 6), poses.dtype).at[slots_all].add(ev_all)
+        # scatter the per-frame grams into the dense pose system via ONE-HOT
+        # contractions: a .at[slots, slots].add scatter of K*(1+D)^2 6x6
+        # blocks serializes on the TPU scatter unit (~20 ms at this scale),
+        # while the same placement as two matmuls rides the MXU (<1 ms).
+        # Sentinel slot P_max lands in the dropped last row/col as before.
+        onehot = (slots_all[:, :, None]
+                  == jnp.arange(P_max + 1)[None, None, :]).astype(
+                      poses.dtype)                       # (K, L, P+1)
+        t_mid = jnp.einsum("klp,klmde->kpmde", onehot, gram_all,
+                           precision=_HI)
+        S = jnp.einsum("kpmde,kmq->pqde", t_mid, onehot, precision=_HI)
+        vs = jnp.einsum("klp,kld->pd", onehot, ev_all, precision=_HI)
 
         A = (H - S)[:P_max, :P_max].transpose(0, 2, 1, 3).reshape(
             P_max * 6, P_max * 6
@@ -349,8 +365,12 @@ def ba_scale_shift(poses, disps, intrinsics, target, weight, eta,
 
         Ck = jnp.einsum("npk,npk,npk->np", w, Jz, Jz, precision=_HI)
         wk = jnp.einsum("npk,npk,npk->np", w, r, Jz, precision=_HI)
-        C_proj = jnp.zeros((K_max + 1, npix), disps.dtype).at[kidx].add(Ck)[:K_max]
-        w_proj = jnp.zeros((K_max + 1, npix), disps.dtype).at[kidx].add(wk)[:K_max]
+        # edge->frame segment sum as a one-hot matmul (MXU; row scatters
+        # serialize — same rationale as in ba())
+        Okd = (kidx[:, None] == jnp.arange(K_max)[None, :]).astype(
+            disps.dtype)                                 # (E, K_max)
+        C_proj = jnp.einsum("ek,ep->kp", Okd, Ck, precision=_HI)
+        w_proj = jnp.einsum("ek,ep->kp", Okd, wk, precision=_HI)
 
         disp_win = jax.lax.dynamic_slice(
             disps, (kbase, 0, 0), (K_max, ht, wd)

@@ -117,9 +117,12 @@ def pool_feat_levels(f, num_levels: int = LEVELS):
     for _ in range(num_levels - 1):
         *lead, h, w, C = f.shape
         h2, w2 = h // 2, w // 2
-        f = f[..., : h2 * 2, : w2 * 2, :].reshape(
-            *lead, h2, 2, w2, 2, C
-        ).mean(axis=(-4, -2))
+        f = f[..., : h2 * 2, : w2 * 2, :]
+        # separable two-step mean: each reduce collapses one CONTIGUOUS
+        # size-2 window axis (a single fused (h2,2,w2,2) window reduce
+        # lowers to a strided gather on TPU and is ~10x slower)
+        f = f.reshape(*lead, h, w2, 2, C).mean(axis=-2)
+        f = f.reshape(*lead, h2, 2, w2, C).mean(axis=-3)
         outs.append(f)
     return outs
 
@@ -167,10 +170,19 @@ def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS):
     iis = jnp.asarray(iis, jnp.int32)
     jjs = jnp.asarray(jjs, jnp.int32)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    outs = []
     levels = [(ht, wd)] + [
         (p.shape[1], p.shape[2]) for p in feat_pyr[1:]
     ]
+    if on_tpu and len(levels) == 4:
+        stores = tuple(
+            f1_store if lvl == 0
+            else feat_pyr[lvl].reshape(N, hl * wl, C)
+            for lvl, (hl, wl) in enumerate(levels)
+        )
+        feat = pallas_corr.lookup_feats_pyramid_pallas(
+            f1_store, stores, iis, jjs, c, tuple(levels), radius)[:, :npix]
+        return feat.reshape(E, ht, wd, -1)
+    outs = []
     for lvl, (hl, wl) in enumerate(levels):
         f2_store = (f1_store if lvl == 0
                     else feat_pyr[lvl].reshape(N, hl * wl, C))
@@ -178,6 +190,7 @@ def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS):
             out = pallas_corr.lookup_feats_pallas(
                 f1_store, f2_store, iis, jjs, c / (2.0 ** lvl), hl, wl,
                 radius)
+            outs.append(out[:, :npix])
         else:
             # fallback: materialize this level's per-edge planes (tests /
             # CPU scale only) and reuse the separable-matmul lookup
@@ -189,8 +202,6 @@ def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS):
             ).reshape(E, npix, hl, wl)
             out = lookup_separable(vol, c[:, :npix] / (2.0 ** lvl), radius)
             outs.append(out)
-            continue
-        outs.append(out[:, :npix])
     feat = jnp.concatenate(outs, axis=-1)
     return feat.reshape(E, ht, wd, -1)
 

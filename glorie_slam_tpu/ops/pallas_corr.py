@@ -254,6 +254,115 @@ def lookup_feats_pallas(f1_store, f2_store, iis, jjs, coords, hl: int,
     return out.transpose(0, 2, 1)
 
 
+def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
+                             f20_ref, f21_ref, f22_ref, f23_ref,
+                             out_ref, *, dims, rd, band, scale):
+    """All four pyramid levels in ONE grid step (one edge x PLANE pixels).
+
+    Shares the f1 tile and coords across levels; each level runs the same
+    stage-0 MXU correlation + hat reduction as ``_lookup_feats_kernel``.
+    ``dims`` is ((h0,w0),...,(h3,w3)); out channel layout is level-major
+    [lvl*rd*rd + a*rd + b] matching lookup_pyramid's concatenation.
+    """
+    f1 = f1_ref[0]                              # (PLANE, C) bf16
+    f2_refs = (f20_ref, f21_ref, f22_ref, f23_ref)
+
+    for lvl, (hl, wl) in enumerate(dims):
+        f2 = f2_refs[lvl]
+        inv = 1.0 / (2.0 ** lvl)
+        x = coords_ref[0, 0, :][None, :] * inv
+        y = coords_ref[0, 1, :][None, :] * inv
+
+        w_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (wl, 1), 0).astype(jnp.float32)
+
+        def corr_rows(row_lo, nrows, f2=f2):
+            rows = f2[0, pl.ds(row_lo * wl, nrows * wl), :]
+            p = jax.lax.dot_general(
+                rows, f1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return p.reshape(nrows, wl, PLANE) * scale
+
+        if band is not None and band < hl:
+            y_min = jnp.min(y)
+            y_max = jnp.max(y)
+            ybase = jnp.clip(
+                jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band
+            )
+            top = jnp.floor(y_max) + (RADIUS + 1)
+            covered = top <= (ybase + band - 1).astype(jnp.float32)
+
+            def slab(_):
+                return _row_pass(corr_rows(ybase, band), y, band, rd,
+                                 row0=ybase)
+
+            def full(_):
+                return _row_pass(corr_rows(0, hl), y, hl, rd)
+
+            tmps = jax.lax.cond(covered, slab, full, None)
+        else:
+            tmps = _row_pass(corr_rows(0, hl), y, hl, rd)
+
+        for a in range(rd):
+            wgtx = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - (x - RADIUS + a)))
+            for b in range(rd):
+                out_ref[0, lvl * rd * rd + a * rd + b, :] = jnp.sum(
+                    tmps[b] * wgtx, axis=0)
+
+
+@partial(jax.jit,
+         static_argnames=("dims", "radius", "interpret", "band", "scale"))
+def lookup_feats_pyramid_pallas(f1_store, f2_stores, iis, jjs, coords,
+                                dims, radius: int = RADIUS,
+                                interpret: bool = False, band: int = BAND,
+                                scale: float = 1.0 / 16.0):
+    """4-level windowed correlation lookup from feature stores in ONE
+    pallas_call (vs 4 calls: the f1 tile, coords transpose, and grid are
+    shared; measured ~2x on the per-round lookup).
+
+    f1_store: (N, npix_pad, C); f2_stores: tuple of 4 stores
+    (N, hl*wl, C) (element 0 may BE f1_store); iis/jjs: (E,) frame
+    indices; coords: (E, npix_pad, 2) LEVEL-0 coords; dims: static
+    ((h0,w0),..,(h3,w3)). Returns (E, npix_pad, 4*rd^2) f32 level-major.
+    """
+    N, npix_pad, C = f1_store.shape
+    E = iis.shape[0]
+    rd = 2 * radius + 1
+    if npix_pad % PLANE != 0:
+        raise ValueError(f"npix={npix_pad} must be a multiple of {PLANE}")
+
+    cc = jnp.nan_to_num(coords).transpose(0, 2, 1)
+    n_tiles = npix_pad // PLANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, PLANE), lambda e, t, iis, jjs: (e, 0, t)),
+            pl.BlockSpec((1, PLANE, C),
+                         lambda e, t, iis, jjs: (iis[e], t, 0)),
+        ] + [
+            pl.BlockSpec((1, h * w, C),
+                         lambda e, t, iis, jjs: (jjs[e], 0, 0))
+            for (h, w) in dims
+        ],
+        out_specs=pl.BlockSpec((1, 4 * rd * rd, PLANE),
+                               lambda e, t, iis, jjs: (e, 0, t)),
+    )
+    out = pl.pallas_call(
+        partial(_lookup_feats_pyr_kernel, dims=dims, rd=rd, band=band,
+                scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, 4 * rd * rd, npix_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(iis.astype(jnp.int32), jjs.astype(jnp.int32), cc,
+      f1_store.astype(jnp.bfloat16),
+      *[s.astype(jnp.bfloat16) for s in f2_stores])
+
+    return out.transpose(0, 2, 1)
+
+
 def _lookup_kernel_slots(slots_ref, coords_ref, plane_ref, out_ref, *,
                          hl, wl, rd, band):
     # slots_ref is consumed by the BlockSpec index_map only

@@ -306,3 +306,32 @@ def test_feats_lookup_pallas_interpret_matches_fallback():
     out_f = corr.lookup_separable(vol, coords)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_f),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_feats_pyramid_kernel_interpret_matches_fallback():
+    """The fused 4-level Pallas kernel (interpret) == per-level fallback."""
+    from glorie_slam_tpu.ops import pallas_corr
+
+    rng = np.random.default_rng(13)
+    N, C, h0, w0 = 4, 16, 16, 16
+    fmaps = jnp.asarray(rng.normal(size=(N, h0, w0, C)), jnp.float32)
+    pyr = corr.prep_feat_pyramid(fmaps.astype(jnp.bfloat16))
+    iis = jnp.array([0, 3], jnp.int32)
+    jjs = jnp.array([2, 1], jnp.int32)
+    coords = jnp.asarray(rng.uniform(1, 13, (2, h0, w0, 2)), jnp.float32)
+
+    ref = corr.lookup_pyramid_feats(pyr, iis, jjs, coords)  # CPU fallback
+
+    npix = h0 * w0
+    N_, npix_pad, C_ = pyr[0].shape
+    dims = ((h0, w0),) + tuple((p.shape[1], p.shape[2]) for p in pyr[1:])
+    stores = (pyr[0],) + tuple(
+        p.reshape(N_, p.shape[1] * p.shape[2], C_) for p in pyr[1:])
+    cc = coords.reshape(2, npix, 2)
+    cpad = jnp.concatenate(
+        [cc, jnp.zeros((2, npix_pad - npix, 2))], axis=1)
+    out = pallas_corr.lookup_feats_pyramid_pallas(
+        pyr[0], stores, iis, jjs, cpad, dims, interpret=True)[:, :npix]
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(2, h0, w0, -1), np.asarray(ref),
+        atol=2e-2, rtol=2e-2)
