@@ -44,6 +44,13 @@ class TrackerNet:
         # it as a static argument (factor_graph._graph_update_step).
         self.update_apply = _update
 
+        def _features_apply(p, x):
+            return model.apply(p, x.astype(dtype), method=model.features)
+
+        # un-jitted twin of _features for embedding in fused programs
+        # (tracking/motion_filter._encode_and_flow)
+        self.features_apply = _features_apply
+
     @classmethod
     def from_checkpoint(cls, path: str, dtype: Any = jnp.bfloat16):
         """Load droid.pth (reference slam.py:70-81 incl. head slicing)."""

@@ -18,24 +18,31 @@ from ..nets import droid_net
 from ..ops import corr as corr_mod
 
 
-@partial(jax.jit, static_argnames=("update_apply",))
-def _flow_magnitude(update_apply, params, fmap_kf, fmap_new, net, inp):
-    """One GRU iteration at zero flow -> mean |delta|
-    (reference motion_filter.py:75-85)."""
+@partial(jax.jit, static_argnames=("features_apply", "update_apply"))
+def _encode_and_flow(features_apply, update_apply, params, inputs,
+                     fmap_kf, net, inp):
+    """fnet encode of the incoming frame + one GRU iteration at zero flow
+    -> (fmap_new, mean |delta|) in ONE program (reference
+    motion_filter.py:52-85; fused here because every dispatch costs a
+    full round trip on the remote-device transport).
+
+    The correlation windows come from the two frames' features directly
+    (same in-kernel path as the tracker, corr.lookup_pyramid_feats)."""
+    fmap_new = features_apply(params, inputs)
     h, w = fmap_kf.shape[1:3]
     coords0 = projective.coords_grid(h, w)[None]
-    f1 = jnp.moveaxis(fmap_kf, -1, 1)
-    f2 = jnp.moveaxis(fmap_new, -1, 1)
-    pyramid = tuple(
-        corr_mod.build_pyramid_lanes(corr_mod.all_pairs_corr_lanes(f1, f2))
-    )
-    corr_feat = corr_mod.lookup_pyramid(pyramid, coords0)
+    feat_pyr = corr_mod.prep_feat_pyramid(
+        jnp.concatenate([fmap_kf, fmap_new], 0))
+    zero = jnp.zeros((1,), jnp.int32)
+    corr_feat = corr_mod.lookup_pyramid_feats(
+        feat_pyr, zero, zero + 1, coords0)
     bf = jnp.bfloat16
     _, delta, _ = update_apply(
         params, net.astype(bf), inp.astype(bf), corr_feat.astype(bf),
         None, None, 0, None,
     )
-    return jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
+    return fmap_new, jnp.mean(
+        jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
 
 
 class MotionFilter:
@@ -73,7 +80,14 @@ class MotionFilter:
         Returns True when the frame was admitted as a keyframe.
         """
         inputs = droid_net.normalize_images(image[None])
-        gmap = self.tn.features(inputs)
+        if self.video.counter == 0:
+            gmap = self.tn.features(inputs)
+            delta_norm = None
+        else:
+            gmap, delta_norm = _encode_and_flow(
+                self.tn.features_apply, self.tn.update_apply,
+                self.tn.params, inputs, self.fmap, self.net, self.inp,
+            )
 
         cadence_mono = None
         if (self.mono_predictor is not None and self.predict_online
@@ -100,10 +114,6 @@ class MotionFilter:
             admit()
             return True
 
-        delta_norm = _flow_magnitude(
-            self.tn.update_apply, self.tn.params, self.fmap, gmap,
-            self.net, self.inp,
-        )
         if float(delta_norm) > self.thresh:
             self.count = 0
             admit()
