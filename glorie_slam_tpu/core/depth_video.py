@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geom import alignment, ba as ba_mod, lie, projective
-from ..ops import depth_filter as df_mod, distance as dist_mod, upsample
+from ..ops import corr as corr_mod, depth_filter as df_mod, \
+    distance as dist_mod, upsample
 from ..utils.buckets import bucket
 
 
@@ -58,6 +59,21 @@ class DepthVideo:
         self.fmaps = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
         self.nets = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
         self.inps = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
+        # per-frame correlation-lookup stores (ops/corr.py
+        # lookup_pyramid_feats): level-0 lane-padded flat rows + pooled
+        # levels, updated INCREMENTALLY as frames land so the fused
+        # tracking programs never re-pool the whole buffer
+        npad = self.h8 * self.w8
+        npad += (-npad) % 128
+        self.corr_flat = jnp.zeros((buf, npad, 128), jnp.bfloat16)
+        dims = []
+        h, w = self.h8, self.w8
+        for _ in range(3):
+            h, w = h // 2, w // 2
+            dims.append((h, w))
+        self.corr_p1 = jnp.zeros((buf,) + dims[0] + (128,), jnp.bfloat16)
+        self.corr_p2 = jnp.zeros((buf,) + dims[1] + (128,), jnp.bfloat16)
+        self.corr_p3 = jnp.zeros((buf,) + dims[2] + (128,), jnp.bfloat16)
 
         # host-side bookkeeping (reference: shared bool tensors + mp.Value)
         self.dirty = np.zeros(buf, bool)
@@ -89,10 +105,25 @@ class DepthVideo:
             self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
         if fmap is not None:
             self.fmaps = self.fmaps.at[ix].set(fmap.astype(jnp.bfloat16))
+            self._update_corr_stores(ix)
         if net is not None:
             self.nets = self.nets.at[ix].set(net.astype(jnp.bfloat16))
         if inp is not None:
             self.inps = self.inps.at[ix].set(inp.astype(jnp.bfloat16))
+
+    def _update_corr_stores(self, ix):
+        """Refresh frame ix's rows of the lookup stores from fmaps[ix]."""
+        f = self.fmaps[ix][None]                       # (1, h8, w8, 128)
+        flat, p1, p2, p3 = corr_mod.prep_feat_pyramid(f)
+        self.corr_flat = self.corr_flat.at[ix].set(flat[0])
+        self.corr_p1 = self.corr_p1.at[ix].set(p1[0])
+        self.corr_p2 = self.corr_p2.at[ix].set(p2[0])
+        self.corr_p3 = self.corr_p3.at[ix].set(p3[0])
+
+    @property
+    def corr_pyr(self):
+        """Lookup-store tuple for corr.lookup_pyramid_feats."""
+        return (self.corr_flat, self.corr_p1, self.corr_p2, self.corr_p3)
 
     def set_pose(self, ix, pose):
         self.poses = self.poses.at[ix].set(pose)
@@ -111,7 +142,8 @@ class DepthVideo:
             return arr.at[ix].set(arr[ix + 1])
 
         for name in ("timestamp", "poses", "disps", "disps_up", "mono_disps",
-                     "depth_scale", "depth_shift", "fmaps", "nets", "inps"):
+                     "depth_scale", "depth_shift", "fmaps", "nets", "inps",
+                     "corr_flat", "corr_p1", "corr_p2", "corr_p3"):
             setattr(self, name, shift(getattr(self, name)))
         self.images = shift(self.images)
         self.valid_depth_mask = shift(self.valid_depth_mask)

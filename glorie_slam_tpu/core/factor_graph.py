@@ -19,10 +19,11 @@ from ..ops import corr as corr_mod
 from ..utils.buckets import bucket
 
 
-@partial(jax.jit, static_argnames=("update_apply", "num_frames"))
+@partial(jax.jit,
+         static_argnames=("update_apply", "num_frames", "with_upmask"))
 def _graph_update_step(update_apply, params, poses, disps, intrinsics,
                        feat_pyr, net, inp, target, ii, jj, kk, edge_mask,
-                       coords0, num_frames: int):
+                       coords0, num_frames: int, with_upmask: bool = True):
     """Fused: reproject -> motion features -> corr lookup -> ConvGRU update.
 
     All edge arrays are padded to a bucket size; ``edge_mask`` marks real
@@ -50,15 +51,18 @@ def _graph_update_step(update_apply, params, poses, disps, intrinsics,
         params,
         net.astype(bf), inp.astype(bf), corr_feat.astype(bf),
         motn.astype(bf), kk, num_frames, edge_mask,
+        with_upmask=with_upmask,
     )
     target2 = coords1 + delta.astype(jnp.float32)
+    upmask = upmask.astype(jnp.float32) if upmask is not None else None
     return (net2, target2, weight.astype(jnp.float32),
-            eta.astype(jnp.float32), upmask.astype(jnp.float32), coords1)
+            eta.astype(jnp.float32), upmask, coords1)
 
 
 class FactorGraph:
     def __init__(self, video, update_apply: Callable, params,
-                 corr_impl: str = "volume", max_factors: int = -1):
+                 corr_impl: str = "volume", max_factors: int = -1,
+                 agg_apply: Callable = None):
         """update_apply(params, net, inp, corr, flow, kk, M, mask) -> tuple.
 
         ``update_apply`` must be a module-level stable callable so the jit
@@ -67,6 +71,9 @@ class FactorGraph:
         """
         self.video = video
         self.update_apply = update_apply
+        # GraphAgg-only apply (final upmask after fused scans); optional —
+        # the fused-rounds wrapper requires it
+        self.agg_apply = agg_apply
         self.params = params
         self.max_factors = max_factors
         self.corr_impl = corr_impl
@@ -264,7 +271,7 @@ class FactorGraph:
             np.concatenate([np.ones(E), np.zeros(E_pad - E)]).astype(np.float32)
         )
 
-        feat_pyr = corr_mod.prep_feat_pyramid(v.fmaps)
+        feat_pyr = v.corr_pyr
         net2, target2, weight2, eta, upmask, _ = _graph_update_step(
             self.update_apply, self.params, v.poses, v.disps, v.intrinsics,
             feat_pyr, net, inp, target,
@@ -368,7 +375,7 @@ class FactorGraph:
                     )
                 )
                 out = _lowmem_chunk_step(
-                    self.update_apply, self.params, v.fmaps,
+                    self.update_apply, self.params, v.corr_pyr,
                     padz(self.net[sel_d]), v.inps[jnp.asarray(
                         np.concatenate([self.ii[idx],
                                         np.zeros(pad, np.int64)]))].astype(
@@ -558,14 +565,13 @@ class FactorGraph:
 
 
 @partial(jax.jit, static_argnames=("update_apply", "num_frames"))
-def _lowmem_chunk_step(update_apply, params, fmaps, net, inp, coords1, motn,
-                       ii, jj, kk, edge_mask, num_frames: int):
+def _lowmem_chunk_step(update_apply, params, feat_pyr, net, inp, coords1,
+                       motn, ii, jj, kk, edge_mask, num_frames: int):
     """AltCorr chunk: compute chunk correlation on the fly + GRU update
     (reference factor_graph.py:268-295 update_lowmem inner loop). The
     correlation windows come straight from the frames' feature pyramids —
     the exact ◆altcorr semantics (src/lib/altcorr_kernel.cu:28-355): no
     chunk volume is ever materialized."""
-    feat_pyr = corr_mod.prep_feat_pyramid(fmaps)
     corr_feat = corr_mod.lookup_pyramid_feats(feat_pyr, ii, jj, coords1)
     bf = jnp.bfloat16
     net2, delta, weight, eta, upmask = update_apply(

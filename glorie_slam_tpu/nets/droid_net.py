@@ -133,9 +133,15 @@ class GraphAgg(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, net, kk, num_frames: int, edge_mask=None):
+    def __call__(self, net, kk, num_frames: int, edge_mask=None,
+                 with_upmask: bool = True):
         """net (E,h,w,128); kk (E,) edge -> frame-slot; returns
-        (eta (M,h,w), upmask (M,h,w,8*8*9)) with M = num_frames."""
+        (eta (M,h,w), upmask (M,h,w,8*8*9)) with M = num_frames.
+
+        ``with_upmask=False`` skips the 576-channel upsample-mask head
+        (upmask is None): inside a fused multi-round scan only the FINAL
+        round's mask is ever consumed, and the head costs ~0.5 GB of
+        activation traffic per round."""
         E, h, w, c = net.shape
         x = nn.relu(
             nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="conv1")(net)
@@ -161,7 +167,9 @@ class GraphAgg(nn.Module):
         eta = nn.softplus(
             nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="eta")(y)
         )[..., 0]
-        upmask = nn.Conv(8 * 8 * 9, (1, 1), dtype=self.dtype, name="upmask")(y)
+        upmask_conv = nn.Conv(8 * 8 * 9, (1, 1), dtype=self.dtype,
+                              name="upmask")
+        upmask = upmask_conv(y) if with_upmask else None
         return 0.01 * eta, upmask
 
 
@@ -182,7 +190,8 @@ class UpdateModule(nn.Module):
         self.agg = GraphAgg(dtype=self.dtype)
 
     def __call__(self, net, inp, corr, flow=None, kk=None,
-                 num_frames: int = 0, edge_mask=None):
+                 num_frames: int = 0, edge_mask=None,
+                 with_upmask: bool = True):
         """All tensors NHWC, edge-batched:
           net (E,h,w,128) GRU hidden; inp (E,h,w,128) context;
           corr (E,h,w,196); flow (E,h,w,4) motion features.
@@ -204,7 +213,8 @@ class UpdateModule(nn.Module):
         weight = nn.sigmoid(self.weight_2(nn.relu(self.weight_1(net))))
 
         if kk is not None:
-            eta, upmask = self.agg(net, kk, num_frames, edge_mask)
+            eta, upmask = self.agg(net, kk, num_frames, edge_mask,
+                                   with_upmask=with_upmask)
             return net, delta, weight, eta, upmask
         return net, delta, weight
 
@@ -240,8 +250,17 @@ class DroidNet(nn.Module):
         return jnp.tanh(net), nn.relu(inp)
 
     def update_step(self, net, inp, corr, flow=None, kk=None,
-                    num_frames: int = 0, edge_mask=None):
-        return self.update(net, inp, corr, flow, kk, num_frames, edge_mask)
+                    num_frames: int = 0, edge_mask=None,
+                    with_upmask: bool = True):
+        return self.update(net, inp, corr, flow, kk, num_frames, edge_mask,
+                           with_upmask=with_upmask)
+
+    def agg_step(self, net, kk, num_frames: int = 0, edge_mask=None):
+        """GraphAgg alone (eta + upmask) on an existing hidden state —
+        used to produce the final upsample mask after a fused multi-round
+        scan that ran with with_upmask=False."""
+        return self.update.agg(net, kk, num_frames, edge_mask,
+                               with_upmask=True)
 
 
 # ImageNet normalization used on tracker inputs (reference motion_filter.py:28-29)

@@ -34,11 +34,19 @@ class TrackerNet:
             lambda p, x: model.apply(p, x.astype(dtype), method=model.context)
         )
 
-        def _update(p, net, inp, corr, flow, kk, num_frames, edge_mask):
+        def _update(p, net, inp, corr, flow, kk, num_frames, edge_mask,
+                    with_upmask=True):
             return model.apply(
                 p, net, inp, corr, flow, kk, num_frames, edge_mask,
-                method=model.update_step,
+                with_upmask, method=model.update_step,
             )
+
+        def _agg(p, net, kk, num_frames, edge_mask):
+            return model.apply(p, net, kk, num_frames, edge_mask,
+                               method=model.agg_step)
+
+        # GraphAgg alone (final upmask after a fused scan)
+        self.agg_apply = _agg
 
         # NOT jitted here: callers embed this in larger jitted steps, passing
         # it as a static argument (factor_graph._graph_update_step).

@@ -121,7 +121,7 @@ def pool_feat_levels(f, num_levels: int = LEVELS):
         # separable two-step mean: each reduce collapses one CONTIGUOUS
         # size-2 window axis (a single fused (h2,2,w2,2) window reduce
         # lowers to a strided gather on TPU and is ~10x slower)
-        f = f.reshape(*lead, h, w2, 2, C).mean(axis=-2)
+        f = f.reshape(*lead, h2 * 2, w2, 2, C).mean(axis=-2)
         f = f.reshape(*lead, h2, 2, w2, C).mean(axis=-3)
         outs.append(f)
     return outs

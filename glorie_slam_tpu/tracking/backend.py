@@ -57,6 +57,7 @@ class Backend:
         graph = FactorGraph(
             self.video, self.tn.update_apply, self.tn.params,
             corr_impl="alt", max_factors=max_factors,
+            agg_apply=self.tn.agg_apply,
         )
         n_edges = self._ba(
             t_start, t_end, steps, graph, self.backend_nms,
@@ -80,6 +81,7 @@ class Backend:
         graph = FactorGraph(
             self.video, self.tn.update_apply, self.tn.params,
             corr_impl="alt", max_factors=max_factors,
+            agg_apply=self.tn.agg_apply,
         )
         if local_graph is not None:
             # seed from a copy of the frontend graph (backend.py:84-89)

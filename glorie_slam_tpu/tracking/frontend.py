@@ -38,6 +38,7 @@ class Frontend:
         self.graph = FactorGraph(
             video, tracker_net.update_apply, tracker_net.params,
             corr_impl="volume", max_factors=self.frontend_max_factors,
+            agg_apply=tracker_net.agg_apply,
         )
         self.last_loop_t = -1
 

@@ -40,12 +40,12 @@ from ..utils.buckets import bucket
 @partial(
     jax.jit,
     static_argnames=(
-        "update_apply", "num_frames", "P_max", "K_pd", "Dmax",
+        "update_apply", "agg_apply", "num_frames", "P_max", "K_pd", "Dmax",
         "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
         "mono_thres", "lm", "ep", "EP",
     ),
 )
-def dspo_rounds(update_apply, params,
+def dspo_rounds(update_apply, agg_apply, params,
                 poses, disps, disps_up, intrinsics, zeros, mono_disps,
                 depth_scale, depth_shift, vmask_small, damping,
                 feat_pyr, net, inp, target, ii_act, jj_act, kk, edge_mask,
@@ -76,19 +76,24 @@ def dspo_rounds(update_apply, params,
     counter = jnp.asarray(counter, jnp.int32)
 
     def round_body(carry, is_ds):
-        (poses, disps, net, target, _w, damping, dsc, dsh, vm, _um) = carry
+        (poses, disps, net, target, _w, damping, dsc, dsh, vm) = carry
 
-        net2, target2, weight2, eta_agg, upmask, _ = _graph_update_step(
+        net2, target2, weight2, eta_agg, _um, _ = _graph_update_step(
             update_apply, params, poses, disps, intrinsics, feat_pyr, net,
             inp, target, ii_act, jj_act, kk, edge_mask, coords0,
-            num_frames=num_frames,
+            num_frames=num_frames, with_upmask=False,
         )
         weight2 = weight2 * edge_mask[:, None, None, None]
-        # kx is padded to num_frames; merge only the valid rows (a masked
-        # scatter-ADD of the delta is duplicate-safe: pad rows add zero)
-        kx_valid = (jnp.arange(num_frames) < n_kx_valid)[:, None, None]
-        damping = damping.at[kx].add(
-            jnp.where(kx_valid, eta_agg[:num_frames] - damping[kx], 0.0))
+        # kx is padded to num_frames; merge only the valid rows — as a
+        # one-hot MXU contraction (a 64-row scatter-add into the 400-frame
+        # damping buffer serializes on the scatter unit)
+        kx_valid = (jnp.arange(num_frames) < n_kx_valid)
+        oh_kx = (kx[None, :] == jnp.arange(Nbuf)[:, None]).astype(
+            damping.dtype) * kx_valid[None, :].astype(damping.dtype)
+        delta_d = (eta_agg[:num_frames]
+                   - damping[kx]).reshape(num_frames, npix)
+        damping = damping + jnp.einsum(
+            "nk,kp->np", oh_kx, delta_d).reshape(Nbuf, h8, w8)
         eta_val = 0.2 * damping + EP
         eta_full = jnp.where(ba_frame_mask[:, None, None], eta_val, 1e-7)
         tgt_comb = jnp.concatenate([tgt_inac, target2], 0)
@@ -194,15 +199,19 @@ def dspo_rounds(update_apply, params,
             (poses, disps, dsc, dsh, vm),
         )
         carry = (poses, disps, net2, target2, weight2, damping, dsc, dsh,
-                 vm, upmask)
+                 vm)
         return carry, ()
 
-    upmask0 = jnp.zeros((num_frames, h8, w8, 8 * 8 * 9), jnp.float32)
     weight0 = jnp.zeros_like(target)
     carry0 = (poses, disps, net, target, weight0, damping,
-              depth_scale, depth_shift, vmask_small, upmask0)
+              depth_scale, depth_shift, vmask_small)
     carry, _ = jax.lax.scan(round_body, carry0, is_ds_flags)
-    (poses, disps, net, target, weight, damping, dsc, dsh, vm, um) = carry
+    (poses, disps, net, target, weight, damping, dsc, dsh, vm) = carry
+
+    # the 576-channel upsample-mask head runs ONCE on the final hidden
+    # state (identical to the last round's would-be upmask; rounds skip it)
+    _eta_last, um = agg_apply(params, net, kk, num_frames, edge_mask)
+    um = um.astype(jnp.float32)
 
     # fused convex upsample of the final round (depth_video.py:140-144);
     # masked-delta scatter-add is duplicate-safe on the padded kx rows
@@ -216,15 +225,15 @@ def dspo_rounds(update_apply, params,
 @partial(
     jax.jit,
     static_argnames=(
-        "update_apply", "num_frames", "P_max", "K_pd", "Dmax",
-        "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
+        "update_apply", "agg_apply", "num_frames", "P_max", "K_pd",
+        "Dmax", "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
         "mono_thres", "lm", "ep", "EP", "E_pad", "EB",
     ),
 )
-def _dspo_rounds_packed(update_apply, params,
+def _dspo_rounds_packed(update_apply, agg_apply, params,
                         poses, disps, disps_up, intrinsics, zeros, mono_disps,
                         depth_scale, depth_shift, vmask_small, damping,
-                        fmaps, net, inp, target, tgt_inac, wgt_inac,
+                        feat_pyr, net, inp, target, tgt_inac, wgt_inac,
                         coords0, ints, floats, is_ds_flags, counter,
                         *, E_pad: int, EB: int, num_frames: int,
                         P_max: int, K_pd: int, Dmax: int, K_ds: int,
@@ -239,10 +248,9 @@ def _dspo_rounds_packed(update_apply, params,
                    jj_ba | adj | t0, t1, kbase_pd, n_kx_valid];
     floats: [edge_mask | adj_mask | ba_frame_mask].
 
-    The correlation stores are prepped HERE, once per fused program (not
-    per round): pooling/padding the full fmaps buffer is one cheap pass.
+    ``feat_pyr`` is the video's incrementally-maintained lookup store
+    (DepthVideo.corr_pyr) — nothing is re-pooled here.
     """
-    feat_pyr = corr_mod.prep_feat_pyramid(fmaps)
     o = 0
 
     def take(n):
@@ -269,7 +277,8 @@ def _dspo_rounds_packed(update_apply, params,
         (E_pad + K_pd * Dmax + poses.shape[0],)) > 0
 
     return dspo_rounds(
-        update_apply, params, poses, disps, disps_up, intrinsics, zeros,
+        update_apply, agg_apply, params, poses, disps, disps_up,
+        intrinsics, zeros,
         mono_disps,
         depth_scale, depth_shift, vmask_small, damping, feat_pyr, net, inp,
         target, ii_act, jj_act, kk, edge_mask, coords0, kx, n_kx_valid,
@@ -444,11 +453,11 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     mono_thres = v.mono_thres if v.mono_thres else 0.0
 
     out = _dspo_rounds_packed(
-        graph.update_apply, graph.params,
+        graph.update_apply, graph.agg_apply, graph.params,
         v.poses, v.disps, v.disps_up, v.intrinsics, v.zeros, v.mono_disps,
         v.depth_scale, v.depth_shift, v.valid_depth_mask_small,
         graph.damping,
-        v.fmaps, st["net"], st["inp"], st["target"],
+        v.corr_pyr, st["net"], st["inp"], st["target"],
         st["tgt_in"], st["wgt_in"], graph.coords0,
         st["ints"], st["floats"], jnp.asarray(flags), v.counter,
         E_pad=st["E_pad"], EB=st["EB"], num_frames=st["M_pad"],

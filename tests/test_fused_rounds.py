@@ -58,6 +58,7 @@ def _build(stream, with_mono=True, n=6, seed=7):
             jnp.asarray(rng.normal(size=(8, 12, 128)) * 0.1),
         )
     graph = FactorGraph(video, tn.update_apply, tn.params,
+                        agg_apply=tn.agg_apply,
                         corr_impl="volume", max_factors=48)
     graph.add_neighborhood_factors(0, n, r=2)
     # seed some inactive edges so the use_inactive path is exercised
