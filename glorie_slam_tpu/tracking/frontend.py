@@ -55,14 +55,16 @@ class Frontend:
         )
 
         # all iters1 DSPO rounds (pose_depth/depth_scale alternation) run as
-        # ONE fused jit program (reference hot loop, frontend.py:50-53)
-        graph_update_rounds(self.graph, self.iters1, use_inactive=True)
+        # ONE fused jit program (reference hot loop, frontend.py:50-53);
+        # the keyframe-distance check d(t1-2, t1-1) is computed inside it
+        # (one scalar readback instead of a second dispatch round trip)
+        d = graph_update_rounds(self.graph, self.iters1, use_inactive=True)
+        if d is None:   # empty graph: fall back to the direct distance op
+            d = self.video.distance(
+                [self.t1 - 2], [self.t1 - 1], beta=self.beta,
+                bidirectional=True)[0]
 
-        d = self.video.distance(
-            [self.t1 - 2], [self.t1 - 1], beta=self.beta, bidirectional=True
-        )
-
-        if float(d[0]) < self.keyframe_thresh:
+        if float(d) < self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 1)
             self.video.counter -= 1
             self.t1 -= 1

@@ -33,7 +33,7 @@ import numpy as np
 from ..core.factor_graph import _graph_update_step
 from ..geom import alignment, ba as ba_mod
 from ..ops import corr as corr_mod, depth_filter as df_mod, \
-    upsample as up_mod
+    distance as dist_mod, upsample as up_mod
 from ..utils.buckets import bucket
 
 
@@ -42,7 +42,7 @@ from ..utils.buckets import bucket
     static_argnames=(
         "update_apply", "agg_apply", "num_frames", "P_max", "K_pd", "Dmax",
         "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
-        "mono_thres", "lm", "ep", "EP",
+        "mono_thres", "lm", "ep", "EP", "beta",
     ),
 )
 def dspo_rounds(update_apply, agg_apply, params,
@@ -57,7 +57,7 @@ def dspo_rounds(update_apply, agg_apply, params,
                 Dmax: int, K_ds: int, M_cur: int, ba_iters: int = 2,
                 mv_thresh: float = 0.01, visible_num: int = 2,
                 mono_thres: float = 0.0, lm: float = 1e-4, ep: float = 0.1,
-                EP: float = 1e-7):
+                EP: float = 1e-7, beta: float = 0.3):
     """Run ``len(is_ds_flags)`` fused DSPO rounds; see module docstring.
 
     Active-edge arrays are padded to E_pad (edge_mask marks real edges);
@@ -213,13 +213,22 @@ def dspo_rounds(update_apply, agg_apply, params,
     _eta_last, um = agg_apply(params, net, kk, num_frames, edge_mask)
     um = um.astype(jnp.float32)
 
+    # keyframe-distance check d(t1-2, t1-1) computed IN-PROGRAM on the
+    # final state (reference frontend.py:55-57) — the host reads ONE scalar
+    # instead of paying a second dispatch round trip for video.distance
+    ta = jnp.maximum(t1 - 2, 0)[None]
+    tb = jnp.maximum(t1 - 1, 0)[None]
+    kf_dist = dist_mod.frame_distance_bidirectional(
+        poses, disps, intrinsics, ta, tb, beta=beta)[0]
+
     # fused convex upsample of the final round (depth_video.py:140-144);
     # masked-delta scatter-add is duplicate-safe on the padded kx rows
     up = up_mod.upsample_disp(disps[kx], jnp.moveaxis(um, -1, 1))
     kx_valid3 = (jnp.arange(num_frames) < n_kx_valid)[:, None, None]
     delta_up = jnp.where(kx_valid3, up - disps_up[kx], 0.0)
     disps_up = disps_up.at[kx].add(delta_up)
-    return poses, disps, disps_up, net, target, weight, damping, dsc, dsh, vm
+    return (poses, disps, disps_up, net, target, weight, damping, dsc, dsh,
+            vm, kf_dist)
 
 
 @partial(
@@ -227,7 +236,7 @@ def dspo_rounds(update_apply, agg_apply, params,
     static_argnames=(
         "update_apply", "agg_apply", "num_frames", "P_max", "K_pd",
         "Dmax", "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
-        "mono_thres", "lm", "ep", "EP", "E_pad", "EB",
+        "mono_thres", "lm", "ep", "EP", "E_pad", "EB", "beta",
     ),
 )
 def _dspo_rounds_packed(update_apply, agg_apply, params,
@@ -239,7 +248,7 @@ def _dspo_rounds_packed(update_apply, agg_apply, params,
                         P_max: int, K_pd: int, Dmax: int, K_ds: int,
                         M_cur: int, ba_iters: int, mv_thresh: float,
                         visible_num: int, mono_thres: float, lm: float,
-                        ep: float, EP: float):
+                        ep: float, EP: float, beta: float):
     """dspo_rounds with the small per-version arrays packed into ONE int32
     and ONE float32 vector — a single upload each instead of ~10 (the
     per-transfer latency of a remote device transport dominates otherwise).
@@ -287,6 +296,7 @@ def _dspo_rounds_packed(update_apply, agg_apply, params,
         num_frames=num_frames, P_max=P_max, K_pd=K_pd, Dmax=Dmax,
         K_ds=K_ds, M_cur=M_cur, ba_iters=ba_iters, mv_thresh=mv_thresh,
         visible_num=visible_num, mono_thres=mono_thres, lm=lm, ep=ep, EP=EP,
+        beta=beta,
     )
 
 
@@ -465,9 +475,10 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         Dmax=st["Dmax"], K_ds=st["K_ds"], M_cur=M_cur, ba_iters=itrs,
         mv_thresh=float(mv["thresh"]), visible_num=int(mv["visible_num"]),
         mono_thres=float(mono_thres), lm=1e-4, ep=0.1, EP=EP,
+        beta=float(v.cfg["tracking"].get("beta", 0.3)),
     )
     (poses, disps, disps_up, net2, target2, weight2, damping, dsc, dsh,
-     vm) = out
+     vm, kf_dist) = out
 
     v.poses = poses
     v.disps = disps
@@ -484,3 +495,4 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     graph.target = target2[:E]
     graph.weight = weight2[:E]
     graph.age += rounds
+    return kf_dist
