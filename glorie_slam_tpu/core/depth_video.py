@@ -54,7 +54,7 @@ class DepthVideo:
         self.mono_disps = jnp.zeros((buf, self.h8, self.w8), f32)
         self.depth_scale = jnp.zeros(buf, f32)
         self.depth_shift = jnp.zeros(buf, f32)
-        self.valid_depth_mask = jnp.zeros((buf, ht, wd), jnp.bool_)
+        self._valid_depth_mask = jnp.zeros((buf, ht, wd), jnp.bool_)
         self.valid_depth_mask_small = jnp.zeros((buf, self.h8, self.w8), jnp.bool_)
         self.fmaps = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
         self.nets = jnp.zeros((buf, self.h8, self.w8, 128), jnp.bfloat16)
@@ -146,7 +146,7 @@ class DepthVideo:
                      "corr_flat", "corr_p1", "corr_p2", "corr_p3"):
             setattr(self, name, shift(getattr(self, name)))
         self.images = shift(self.images)
-        self.valid_depth_mask = shift(self.valid_depth_mask)
+        self._valid_depth_mask = shift(self._valid_depth_mask)
         self.valid_depth_mask_small = shift(self.valid_depth_mask_small)
         self.dirty[ix] = self.dirty[ix + 1]
         self.npc_dirty[ix] = self.npc_dirty[ix + 1]
@@ -393,14 +393,37 @@ class DepthVideo:
     # multiview depth validity (depth_video.py:326-361)
     # ------------------------------------------------------------------
 
+    @property
+    def valid_depth_mask(self):
+        """Full-resolution multiview validity mask, LAZILY refreshed.
+
+        Only mapping / evaluation / export ever read this mask — tracking
+        consumes valid_depth_mask_small (refreshed inside the fused DSPO
+        rounds). The reference recomputes it eagerly after every frontend
+        call (frontend.py:125,130); on TPU the full-resolution multiview
+        filter costs ~1 s per 64-frame dirty window, so the refresh is
+        deferred to first READ: dirty frames accumulate (self.dirty) and
+        are filtered on access. Values observed by any consumer match an
+        eager schedule up to BA updates that happened between the eager
+        point and the read — which only make the mask FRESHER."""
+        dirty_index = np.where(self.dirty)[0]
+        if len(dirty_index):
+            self._refresh_valid_depth_mask(dirty_index)
+        return self._valid_depth_mask
+
+    @valid_depth_mask.setter
+    def valid_depth_mask(self, value):
+        """Direct assignment (oracle tests / importers) marks all frames
+        clean: the assigned mask IS the intended state."""
+        self._valid_depth_mask = value
+        self.dirty[:] = False
+
     def update_valid_depth_mask(self, up=True):
-        """Single fused jit, fully on-device: the old formulation pulled the
-        (M, H, W) mask to host and re-uploaded it, which costs ~0.5 s per
-        keyframe on a remote-device transport (~45 MB/s download)."""
+        """Single fused jit, fully on-device. up=True defers to first read
+        (see the valid_depth_mask property); up=False refreshes the small
+        mask immediately (tracking consumes it)."""
         if up:
-            dirty_index = np.where(self.dirty)[0]
-            if len(dirty_index) == 0:
-                return
+            return   # lazy: the property refreshes on read
         else:
             dirty_index = np.arange(self.counter)
             if len(dirty_index) == 0:
@@ -409,20 +432,26 @@ class DepthVideo:
         M = bucket(len(dirty_index))
         pad = M - len(dirty_index)
         idx = np.concatenate([dirty_index, np.zeros(pad, np.int64)])
-        disps = self.disps_up if up else self.disps
-        intr = self.intrinsics * (self.down_scale if up else 1.0)
         mv = self.cfg["tracking"]["multiview_filter"]
-        target = self.valid_depth_mask if up else self.valid_depth_mask_small
-        new_mask = _valid_mask_update(
-            self.poses, disps, intr, target, jnp.asarray(idx, jnp.int32),
+        self.valid_depth_mask_small = _valid_mask_update(
+            self.poses, self.disps, self.intrinsics,
+            self.valid_depth_mask_small, jnp.asarray(idx, jnp.int32),
             jnp.int32(len(dirty_index)), float(mv["thresh"]),
             int(mv["visible_num"]),
         )
-        if up:
-            self.valid_depth_mask = new_mask
-            self.dirty[dirty_index] = False
-        else:
-            self.valid_depth_mask_small = new_mask
+
+    def _refresh_valid_depth_mask(self, dirty_index):
+        M = bucket(len(dirty_index))
+        pad = M - len(dirty_index)
+        idx = np.concatenate([dirty_index, np.zeros(pad, np.int64)])
+        mv = self.cfg["tracking"]["multiview_filter"]
+        self._valid_depth_mask = _valid_mask_update(
+            self.poses, self.disps_up, self.intrinsics * self.down_scale,
+            self._valid_depth_mask, jnp.asarray(idx, jnp.int32),
+            jnp.int32(len(dirty_index)), float(mv["thresh"]),
+            int(mv["visible_num"]),
+        )
+        self.dirty[dirty_index] = False
 
     # ------------------------------------------------------------------
     # export (depth_video.py:313-385)

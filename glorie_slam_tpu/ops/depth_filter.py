@@ -33,8 +33,12 @@ def depth_filter(poses, disps, intrinsics, inds, thresh):
     # gather lowers to a serialized per-element loop on TPU (~41 ms at
     # Replica 1/8 scale); for small planes the row selection becomes a
     # one-hot MXU matmul + a masked column reduce (~10x faster). Large
-    # (full-res) planes keep the gather: the one-hot form scales O(p*h*w).
+    # (full-res) planes on TPU use the Pallas slab kernel; elsewhere they
+    # keep the gather (the one-hot form scales O(p*h*w)).
     use_onehot = (ht * wd) <= 8192
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if not use_onehot and on_tpu:
+        return _depth_filter_pallas(poses, disps, intrinsics, inds, thresh)
 
     def one_neighbor(ix, off, t):
         jx = ix + off
@@ -90,3 +94,48 @@ def depth_filter(poses, disps, intrinsics, inds, thresh):
         return jnp.sum(jnp.stack(counts, 0), axis=0)
 
     return jax.vmap(per_frame)(inds, thresh)
+
+
+def _depth_filter_pallas(poses, disps, intrinsics, inds, thresh):
+    """Large-plane (full-resolution) path: reprojection stays XLA
+    elementwise; the 4-corner agreement test runs in the Pallas slab kernel
+    (pallas_corr.depth_agree_pallas) instead of a per-element gather, which
+    lowers to a serialized loop on TPU (measured 5.9 s for 64 frames at
+    320x640 vs ~tens of ms here)."""
+    from . import pallas_corr
+
+    N, ht, wd = disps.shape
+    npix = ht * wd
+    fx, fy, cx, cy = intrinsics
+    M = inds.shape[0]
+    offs = jnp.asarray(_NEIGH_OFFSETS, jnp.int32)
+    ix = inds.astype(jnp.int32)                       # (M,)
+    jx = ix[:, None] + offs[None, :]                  # (M, 6)
+    in_range = (jx >= 0) & (jx < N)
+    jx_safe = jnp.clip(jx, 0, N - 1)
+
+    X0 = projective.iproj(disps[ix], intrinsics)      # (M, ht, wd, 4)
+    Gij = lie.rel(poses[ix][:, None], poses[jx_safe]) # (M, 6, 7)
+    X0b = jnp.broadcast_to(X0[:, None], (M, 6) + X0.shape[1:])
+    Xj = lie.act(Gij[:, :, None, None], X0b)          # (M, 6, ht, wd, 4)
+    z = Xj[..., 2]
+    u = fx * Xj[..., 0] / z + cx
+    v = fy * Xj[..., 1] / z + cy
+    izd = z / Xj[..., 3]                              # 1 / projected disp
+    thr = jnp.broadcast_to(thresh[:, None, None, None],
+                           (M, 6, ht, wd)).astype(jnp.float32)
+
+    # pack per-neighbor rows [u, v, inv_depth, thresh] -> (M, 24, npix)
+    cu = jnp.stack(
+        [u.reshape(M, 6, npix), v.reshape(M, 6, npix),
+         izd.reshape(M, 6, npix), thr.reshape(M, 6, npix)],
+        axis=2).reshape(M, 24, npix)
+    pad = (-npix) % pallas_corr.PLANE
+    if pad:
+        cu = jnp.concatenate(
+            [cu, jnp.zeros((M, 24, pad), cu.dtype)], axis=2)
+    agree = pallas_corr.depth_agree_pallas(
+        disps, jx_safe, cu, ht, wd)[:, :, :npix]
+    agree = agree.reshape(M, 6, ht, wd)
+    agree = agree * in_range[:, :, None, None].astype(agree.dtype)
+    return jnp.sum(agree, axis=1).astype(disps.dtype)

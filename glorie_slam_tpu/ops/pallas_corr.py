@@ -413,3 +413,119 @@ def lookup_pallas_slots(plane_store, slots, coords, radius: int = RADIUS,
     )(slots.astype(jnp.int32), cc, plane_store.astype(jnp.bfloat16))
 
     return out.transpose(0, 2, 1)
+
+
+def _depth_agree_kernel(jxs_ref, cu_ref, d0_ref, d1_ref, d2_ref, d3_ref,
+                        d4_ref, d5_ref, out_ref, *, ht, wd, vband, uband,
+                        tile):
+    """Per (source frame, ``tile``-pixel block): the 4-corner depth-agreement
+    test of ◆depth_filter (droid_kernels.cu:661-775) for ALL 6 neighbor
+    offsets, without per-element gathers: corner values come from one-hot
+    matmuls against a (vband, uband) slab of each neighbor's disparity map
+    held in VMEM.
+
+    DEVIATION from the CUDA kernel: pixels whose projected footprint falls
+    outside the tile's slab (isolated depth-discontinuity outliers — the
+    slab covers the tile's median footprint) count as NON-agreeing instead
+    of being tested against the full plane. This under-counts support at
+    depth edges, where the reference's multiview count is typically below
+    threshold anyway; the exact full-plane branch was measured to destroy
+    pipelining (6 conds/tile -> 4x slower overall).
+
+    cu_ref: (1, 24, tile) packed per neighbor k rows [4k..4k+4):
+            [u, v, inv_depth_proj, thresh];
+    d*_ref: (1, ht, wd) neighbor disparity maps (scalar-prefetch indexed);
+    out_ref: (1, 8, tile) bf16 — row k = agreement of neighbor k; rows 6..7
+             are padding.
+    """
+    d_refs = (d0_ref, d1_ref, d2_ref, d3_ref, d4_ref, d5_ref)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (vband, 1), 0)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (uband, 1), 0)
+
+    for k in range(6):
+        u = cu_ref[0, 4 * k + 0, :]
+        v = cu_ref[0, 4 * k + 1, :]
+        izd = cu_ref[0, 4 * k + 2, :]
+        thr = cu_ref[0, 4 * k + 3, :]
+
+        u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, wd - 2)
+        v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, ht - 2)
+        inb = ((jnp.floor(u) >= 0) & (jnp.floor(v) >= 0)
+               & (jnp.floor(u) < wd - 1) & (jnp.floor(v) < ht - 1))
+
+        # slab anchored at the MEDIAN footprint (robust to outlier pixels;
+        # min/max anchoring lets one depth-edge pixel evict the whole tile)
+        v_mid = (jnp.min(v0) + jnp.max(v0)) // 2
+        u_mid = (jnp.min(u0) + jnp.max(u0)) // 2
+        vbase = pl.multiple_of(jnp.clip(
+            ((v_mid - vband // 2) // 8) * 8, 0, max(ht - vband, 0)), 8)
+        ubase = pl.multiple_of(jnp.clip(
+            ((u_mid - uband // 2) // 128) * 128, 0,
+            max(wd - uband, 0)), 128)
+        in_slab = ((v0 >= vbase) & (v0 + 1 <= vbase + vband - 1)
+                   & (u0 >= ubase) & (u0 + 1 <= ubase + uband - 1))
+
+        slab = d_refs[k][0, pl.ds(vbase, min(vband, ht)),
+                         pl.ds(ubase, min(uband, wd))]
+        agree = jnp.zeros((u.shape[0],), jnp.bool_)
+        for dv in (0, 1):
+            oh_v = (iota_v == jnp.clip(v0 - vbase + dv, 0, vband - 1)
+                    [None, :]).astype(jnp.float32)
+            rows = jax.lax.dot_general(
+                slab, oh_v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (uband, tile)
+            for du in (0, 1):
+                oh_u = (iota_u == jnp.clip(u0 - ubase + du, 0, uband - 1)
+                        [None, :])
+                c = jnp.sum(jnp.where(oh_u, rows, 0.0), axis=0)
+                agree = agree | (jnp.abs(izd - 1.0 / c) < thr)
+        out_ref[0, k, :] = jnp.where(
+            inb & in_slab & agree, 1.0, 0.0).astype(jnp.bfloat16)
+    zero = jnp.zeros((out_ref.shape[2],), jnp.bfloat16)
+    out_ref[0, 6, :] = zero
+    out_ref[0, 7, :] = zero
+
+
+@partial(jax.jit, static_argnames=("ht", "wd", "vband", "uband",
+                                   "interpret"))
+def depth_agree_pallas(dmaps, jxs, cu, ht: int, wd: int, vband: int = 16,
+                       uband: int = 384, interpret: bool = False):
+    """Batched 4-corner depth agreement (see _depth_agree_kernel).
+
+    dmaps: (N, ht, wd) f32 disparity maps; jxs: (M, 6) int32 neighbor frame
+    per source frame; cu: (M, 24, npix_pad) packed per-neighbor
+    [u, v, inv_depth, thresh] rows with npix_pad a multiple of the lane
+    tile (pad pixels produce garbage that the caller crops). Returns
+    (M, 6, npix_pad) f32 agreement (conservative at slab-escaping pixels,
+    see the kernel docstring).
+    """
+    M = cu.shape[0]
+    npix_pad = cu.shape[2]
+    if npix_pad % PLANE != 0:
+        raise ValueError(f"npix={npix_pad} must be a multiple of {PLANE}")
+    # wide tiles amortize the (scalar-prefetch indexed, hence un-elided)
+    # per-cell copies of the six disparity-map blocks
+    tile = 1024 if npix_pad % 1024 == 0 else PLANE
+    vb = min(vband, ht)
+    ub = min(uband, wd)
+    n_tiles = npix_pad // tile
+    jflat = jxs.reshape(M * 6).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M, n_tiles),
+        in_specs=[pl.BlockSpec((1, 24, tile), lambda m, t, jxs: (m, 0, t))]
+        + [
+            pl.BlockSpec((1, ht, wd),
+                         lambda m, t, jxs, k=k: (jxs[m * 6 + k], 0, 0))
+            for k in range(6)
+        ],
+        out_specs=pl.BlockSpec((1, 8, tile), lambda m, t, jxs: (m, 0, t)),
+    )
+    out = pl.pallas_call(
+        partial(_depth_agree_kernel, ht=ht, wd=wd, vband=vb, uband=ub,
+                tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, 8, npix_pad), jnp.bfloat16),
+        interpret=interpret,
+    )(jflat, cu, *([dmaps.astype(jnp.float32)] * 6))
+    return out[:, :6].astype(jnp.float32)

@@ -335,3 +335,68 @@ def test_feats_pyramid_kernel_interpret_matches_fallback():
     np.testing.assert_allclose(
         np.asarray(out).reshape(2, h0, w0, -1), np.asarray(ref),
         atol=2e-2, rtol=2e-2)
+
+
+def test_depth_agree_pallas_interpret_matches_gather():
+    """Full-res depth_filter path: the Pallas slab kernel (interpret mode)
+    must reproduce the gather formulation, including out-of-range neighbors
+    and depth-discontinuity tiles that trigger the full-plane fallback."""
+    from glorie_slam_tpu.geom import lie
+    from glorie_slam_tpu.geom import projective as pj
+    from glorie_slam_tpu.ops import pallas_corr
+    import glorie_slam_tpu.ops.depth_filter as df_mod
+
+    rng = np.random.default_rng(21)
+    N, h, w = 6, 16, 24
+    poses = lie.exp(jnp.asarray(
+        np.cumsum(rng.normal(size=(N, 6)) * 0.03, 0), jnp.float32))
+    d = 0.5 + 0.4 * rng.random((N, h, w))
+    d[:, :, 12:] *= 3.0   # hard depth discontinuity -> scattered footprints
+    disps = jnp.asarray(d, jnp.float32)
+    intr = jnp.asarray([w * 0.8, w * 0.8, w / 2, h / 2], jnp.float32)
+    inds = jnp.asarray([0, 2, 5], jnp.int32)
+    thr = 0.05 * jnp.ones(3, jnp.float32)
+
+    ref = np.asarray(depth_filter.depth_filter(poses, disps, intr, inds, thr))
+
+    M = 3
+    npix = h * w
+    fx, fy, cx, cy = np.asarray(intr)
+    offs = jnp.asarray(df_mod._NEIGH_OFFSETS, jnp.int32)
+    ix = inds
+    jx = ix[:, None] + offs[None, :]
+    in_range = (jx >= 0) & (jx < N)
+    jx_safe = jnp.clip(jx, 0, N - 1)
+    X0 = pj.iproj(disps[ix], intr)
+    Gij = lie.rel(poses[ix][:, None], poses[jx_safe])
+    X0b = jnp.broadcast_to(X0[:, None], (M, 6) + X0.shape[1:])
+    Xj = lie.act(Gij[:, :, None, None], X0b)
+    z = Xj[..., 2]
+    u = fx * Xj[..., 0] / z + cx
+    v = fy * Xj[..., 1] / z + cy
+    izd = z / Xj[..., 3]
+    thrb = jnp.broadcast_to(thr[:, None, None, None], (M, 6, h, w))
+    cu = jnp.stack([u.reshape(M, 6, npix), v.reshape(M, 6, npix),
+                    izd.reshape(M, 6, npix),
+                    thrb.reshape(M, 6, npix).astype(jnp.float32)],
+                   axis=2).reshape(M, 24, npix)
+    pad = (-npix) % pallas_corr.PLANE
+    cu = jnp.concatenate([cu, jnp.zeros((M, 24, pad))], axis=2)
+    # full-plane slab -> EXACT match with the gather formulation
+    agree = pallas_corr.depth_agree_pallas(
+        disps, jx_safe, cu, h, w, vband=h, uband=w,
+        interpret=True)[:, :, :npix]
+    agree = np.asarray(agree).reshape(M, 6, h, w) * np.asarray(
+        in_range, np.float32)[:, :, None, None]
+    counts = agree.sum(1)
+    np.testing.assert_allclose(counts, ref, atol=1e-5)
+
+    # narrow slab -> CONSERVATIVE: never counts support the exact
+    # formulation lacks (slab-escaping pixels count as non-agreeing)
+    agree_n = pallas_corr.depth_agree_pallas(
+        disps, jx_safe, cu, h, w, vband=8, uband=16,
+        interpret=True)[:, :, :npix]
+    agree_n = np.asarray(agree_n).reshape(M, 6, h, w) * np.asarray(
+        in_range, np.float32)[:, :, None, None]
+    counts_n = agree_n.sum(1)
+    assert (counts_n <= ref + 1e-5).all()
