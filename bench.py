@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 BASELINE_KF_PER_S = 15.0 / 12.0
 N_FRAMES = 40
-N_STEADY = 10
+N_STEADY = 12
 
 
 def main():
@@ -84,8 +84,12 @@ def main():
         print(f"[bench] frame {i}: {times[-1]:.2f}s", file=sys.stderr,
               flush=True)
 
-    steady = times[-N_STEADY:]
-    kf_per_s = N_STEADY / sum(steady)
+    steady = sorted(times[-N_STEADY:])
+    # median of the steady window: robust to the occasional straggler
+    # frame (a late shape-ladder recompile inflates a single frame by
+    # 10-50x and would otherwise dominate a mean)
+    med = steady[len(steady) // 2]
+    kf_per_s = 1.0 / med
     print(json.dumps({
         "metric": "keyframe_fps_replica_full_pipeline",
         "value": round(kf_per_s, 3),

@@ -220,9 +220,12 @@ class DepthVideo:
         n = len(ix)
         P = bucket(n)
         ix_p = np.concatenate([ix, np.zeros(P - n, np.int64)])
-        if P > n:
+        if mask.shape[0] > P:        # caller passed a padded mask
+            mask = mask[:P]
+        elif mask.shape[0] < P:
             mask = jnp.concatenate(
-                [mask, jnp.zeros((P - n,) + mask.shape[1:], mask.dtype)], 0)
+                [mask, jnp.zeros((P - mask.shape[0],) + mask.shape[1:],
+                                 mask.dtype)], 0)
         self.disps_up = _upsample_merge(
             self.disps, self.disps_up, jnp.asarray(ix_p, jnp.int32), mask,
             jnp.int32(n))
@@ -270,25 +273,49 @@ class DepthVideo:
             raise NotImplementedError(self.BA_type)
 
     def _eta_buffer(self, eta, ii):
-        """Scatter per-unique-frame eta maps into a full-buffer array."""
+        """Scatter per-unique-frame eta maps into a full-buffer array.
+
+        ``eta`` may be padded beyond the unique-frame count (fixed-shape
+        callers); extra rows are masked out."""
         eta_full = jnp.full(
             (self.buffer, self.h8, self.w8), 1e-7, jnp.float32
         )
         kx = np.unique(ii[ii >= 0])
-        return eta_full.at[jnp.asarray(kx)].set(jnp.asarray(eta))
+        n = len(kx)
+        P = int(eta.shape[0])
+        kx_p = jnp.asarray(
+            np.concatenate([kx, np.zeros(max(P - n, 0), np.int64)])[:P],
+            jnp.int32)
+        valid = jnp.asarray((np.arange(P) < n)[:, None, None])
+        vals = jnp.where(valid, jnp.asarray(eta)[:P], 1e-7)
+        delta = jnp.where(valid, vals - eta_full[kx_p], 0.0)
+        return eta_full.at[kx_p].add(delta)
 
     def _pad_edges(self, target, weight, ii, jj):
         E = len(ii)
         E_pad = bucket(E)
         pad = E_pad - E
+        # capacity-buffer callers pass MORE rows than edges: stale rows
+        # beyond E are harmless (pad edges carry ii = -1, which zeroes
+        # their weights in every consumer) — just take the first E_pad
+        if target.shape[0] >= E_pad:
+            target = target[:E_pad]
+            weight = weight[:E_pad]
+            pad_rows = 0
+        else:
+            target = target[:E]
+            weight = weight[:E]
+            pad_rows = pad
         ii_p = np.concatenate([ii, -np.ones(pad, np.int64)]).astype(np.int32)
         jj_p = np.concatenate([jj, -np.ones(pad, np.int64)]).astype(np.int32)
-        if pad:
+        if pad_rows:
             target = jnp.concatenate(
-                [target, jnp.zeros((pad,) + target.shape[1:], target.dtype)], 0
+                [target,
+                 jnp.zeros((pad_rows,) + target.shape[1:], target.dtype)], 0
             )
             weight = jnp.concatenate(
-                [weight, jnp.zeros((pad,) + weight.shape[1:], weight.dtype)], 0
+                [weight,
+                 jnp.zeros((pad_rows,) + weight.shape[1:], weight.dtype)], 0
             )
         return target, weight, ii_p, jj_p, E_pad
 
@@ -365,7 +392,13 @@ class DepthVideo:
                 weight_t = weight[jnp.asarray(keep)]
                 kx_all = np.unique(ii)
                 kx_keep = np.unique(ii_t)
-                eta = eta[jnp.asarray(np.isin(kx_all, kx_keep))]
+                # eta may carry padded rows beyond len(kx_all); select the
+                # surviving unique-frame rows with a padded integer gather
+                pos = np.where(np.isin(kx_all, kx_keep))[0]
+                npos = len(pos)
+                pos_p = np.concatenate(
+                    [pos, np.zeros(bucket(npos) - npos, np.int64)])
+                eta = eta[jnp.asarray(pos_p, jnp.int32)]
 
             eta_full = self._eta_buffer(eta, ii_t)
             target_t, weight_t, ii_p, jj_p, E_pad = self._pad_edges(

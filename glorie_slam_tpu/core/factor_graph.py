@@ -59,6 +59,25 @@ def _graph_update_step(update_apply, params, poses, disps, intrinsics,
             eta.astype(jnp.float32), upmask, coords1)
 
 
+@jax.jit
+def _frame_rows_write(arr, dst, vals, valid):
+    """(N, h, w) buffer: arr[dst] <- vals where valid (masked delta)."""
+    delta = jnp.where(
+        valid[:, None, None] > 0,
+        vals.astype(arr.dtype) - arr[dst], 0).astype(arr.dtype)
+    return arr.at[dst].add(delta)
+
+
+@jax.jit
+def _rows_write(arr, dst, vals, valid):
+    """arr[dst] <- vals where valid (duplicate-safe masked delta
+    scatter-add: pad rows carry a zero delta)."""
+    delta = jnp.where(
+        valid[:, None, None, None] > 0,
+        vals.astype(arr.dtype) - arr[dst], 0).astype(arr.dtype)
+    return arr.at[dst].add(delta)
+
+
 class FactorGraph:
     def __init__(self, video, update_apply: Callable, params,
                  corr_impl: str = "volume", max_factors: int = -1,
@@ -86,10 +105,18 @@ class FactorGraph:
         # bumped on any edge-set or per-edge-state mutation; the fused-rounds
         # wrapper (tracking/fused.py) keys its padded-state cache on this
         self.version = 0
-        self.net = None      # (E, h8, w8, 128)
-        self.inp = None      # (E, h8, w8, 128)
-        self.target = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
-        self.weight = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
+
+        # Per-edge device state lives in FIXED-CAPACITY padded buffers
+        # (rows [E:cap) are stale/zero). Every mutation below is a
+        # fixed-shape gather/scatter: exact-size concats/boolean gathers
+        # would compile a fresh tiny XLA program per distinct edge count —
+        # measured ~70 remote compiles PER FRAME once the graph churns.
+        self.cap = bucket(max_factors) if max_factors > 0 else 8
+        self.E = 0
+        self.net = self._zeros(self.cap, 128, jnp.bfloat16)
+        self.inp = self._zeros(self.cap, 128, jnp.bfloat16)
+        self.target = self._zeros(self.cap, 2, jnp.float32)
+        self.weight = self._zeros(self.cap, 2, jnp.float32)
 
         # per-frame BA damping (reference factor_graph.py:28)
         self.damping = 1e-6 * jnp.ones_like(video.disps)
@@ -98,8 +125,40 @@ class FactorGraph:
         self.jj_inac = np.zeros(0, np.int64)
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
-        self.target_inac = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
-        self.weight_inac = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
+        self.pool_cap = 8
+        self.target_inac = self._zeros(self.pool_cap, 2, jnp.float32)
+        self.weight_inac = self._zeros(self.pool_cap, 2, jnp.float32)
+
+    def _zeros(self, n, c, dtype):
+        return jnp.zeros((n, self.h8, self.w8, c), dtype)
+
+    def _grow_active(self, need):
+        new_cap = bucket(need)
+        if new_cap <= self.cap:
+            return
+        pad = new_cap - self.cap
+
+        def gz(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+        self.net, self.inp = gz(self.net), gz(self.inp)
+        self.target, self.weight = gz(self.target), gz(self.weight)
+        self.cap = new_cap
+
+    def _grow_pool(self, need):
+        new_cap = bucket(need)
+        if new_cap <= self.pool_cap:
+            return
+        pad = new_cap - self.pool_cap
+
+        def gz(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+        self.target_inac = gz(self.target_inac)
+        self.weight_inac = gz(self.weight_inac)
+        self.pool_cap = new_cap
 
     # ------------------------------------------------------------------
     # edge management (host)
@@ -139,28 +198,36 @@ class FactorGraph:
             self.rm_factors(drop, store=True)
 
         v = self.video
-        ii_d = jnp.asarray(ii, jnp.int32)
-        jj_d = jnp.asarray(jj, jnp.int32)
-        net = v.nets[ii_d].astype(jnp.bfloat16)
-        inp = v.inps[ii_d].astype(jnp.bfloat16)
         # no per-edge correlation state: lookups index the per-frame
         # feature-pyramid store by (ii, jj) directly (corr.py
         # lookup_pyramid_feats) — adding/removing edges touches nothing
 
+        k = len(ii)
+        kpad = bucket(k)
+        ii_p = np.concatenate([ii, np.zeros(kpad - k, np.int64)])
+        jj_p = np.concatenate([jj, np.zeros(kpad - k, np.int64)])
+        ii_d = jnp.asarray(ii_p, jnp.int32)
+        jj_d = jnp.asarray(jj_p, jnp.int32)
+        net = v.nets[ii_d].astype(jnp.bfloat16)
+        inp = v.inps[ii_d].astype(jnp.bfloat16)
         target, _ = v.reproject(ii_d, jj_d)
-        weight = jnp.zeros_like(target)
 
+        E_old = len(self.ii)
+        self._grow_active(E_old + k)
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
-        self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
-        self.net = net if self.net is None else jnp.concatenate(
-            [self.net, net], 0
-        )
-        self.inp = inp if self.inp is None else jnp.concatenate(
-            [self.inp, inp], 0
-        )
-        self.target = jnp.concatenate([self.target, target], 0)
-        self.weight = jnp.concatenate([self.weight, weight], 0)
+        self.age = np.concatenate([self.age, np.zeros(k, np.int64)])
+        # pad rows scatter onto row 0 with a ZERO delta (duplicate-safe)
+        dst = np.concatenate([E_old + np.arange(k), np.zeros(kpad - k)])
+        dst_d = jnp.asarray(dst, jnp.int32)
+        valid = jnp.asarray(
+            (np.arange(kpad) < k).astype(np.float32))
+        self.net = _rows_write(self.net, dst_d, net, valid)
+        self.inp = _rows_write(self.inp, dst_d, inp, valid)
+        self.target = _rows_write(self.target, dst_d, target, valid)
+        self.weight = _rows_write(
+            self.weight, dst_d, jnp.zeros_like(target), valid)
+        self.E = len(self.ii)
 
     def rm_factors(self, mask, store=False):
         """Remove edges; optionally store into the inactive pool
@@ -170,26 +237,37 @@ class FactorGraph:
         if mask.sum() == 0:
             return
         if store:
+            st_idx = np.where(mask)[0]
+            ks = len(st_idx)
+            kpad = bucket(ks)
+            src = np.concatenate([st_idx, np.zeros(kpad - ks)])
+            src_d = jnp.asarray(src, jnp.int32)
+            EI_old = len(self.ii_inac)
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
-            keep_d = jnp.asarray(mask)
-            self.target_inac = jnp.concatenate(
-                [self.target_inac, self.target[keep_d]], 0
-            )
-            self.weight_inac = jnp.concatenate(
-                [self.weight_inac, self.weight[keep_d]], 0
-            )
+            self._grow_pool(EI_old + ks)
+            dst = np.concatenate(
+                [EI_old + np.arange(ks), np.zeros(kpad - ks)])
+            dst_d = jnp.asarray(dst, jnp.int32)
+            valid = jnp.asarray((np.arange(kpad) < ks).astype(np.float32))
+            self.target_inac = _rows_write(
+                self.target_inac, dst_d, self.target[src_d], valid)
+            self.weight_inac = _rows_write(
+                self.weight_inac, dst_d, self.weight[src_d], valid)
         keep = ~mask
-        keep_d = jnp.asarray(keep)
+        keep_idx = np.where(keep)[0]
         self.ii, self.jj, self.age = (
             self.ii[keep], self.jj[keep], self.age[keep]
         )
-        if self.net is not None:
-            self.net = self.net[keep_d]
-        if self.inp is not None:
-            self.inp = self.inp[keep_d]
-        self.target = self.target[keep_d]
-        self.weight = self.weight[keep_d]
+        # fixed-shape compaction: gather a full-capacity permutation
+        perm = np.concatenate(
+            [keep_idx, np.zeros(self.cap - len(keep_idx))])
+        perm_d = jnp.asarray(perm, jnp.int32)
+        self.net = self.net[perm_d]
+        self.inp = self.inp[perm_d]
+        self.target = self.target[perm_d]
+        self.weight = self.weight[perm_d]
+        self.E = len(self.ii)
 
     def rm_keyframe(self, ix):
         """Drop keyframe ix: shift video state, remap edges
@@ -201,11 +279,14 @@ class FactorGraph:
         self.ii_inac[self.ii_inac >= ix] -= 1
         self.jj_inac[self.jj_inac >= ix] -= 1
         if m.any():
-            keep_d = jnp.asarray(~m)
+            keep_idx = np.where(~m)[0]
             self.ii_inac = self.ii_inac[~m]
             self.jj_inac = self.jj_inac[~m]
-            self.target_inac = self.target_inac[keep_d]
-            self.weight_inac = self.weight_inac[keep_d]
+            perm = np.concatenate(
+                [keep_idx, np.zeros(self.pool_cap - len(keep_idx))])
+            perm_d = jnp.asarray(perm, jnp.int32)
+            self.target_inac = self.target_inac[perm_d]
+            self.weight_inac = self.weight_inac[perm_d]
 
         m = (self.ii == ix) | (self.jj == ix)
         self.ii[self.ii >= ix] -= 1
@@ -214,7 +295,8 @@ class FactorGraph:
 
     def filter_edges(self):
         """Remove low-confidence long-range edges (factor_graph.py:69-76)."""
-        conf = np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        conf = np.asarray(
+            jnp.mean(self.weight, axis=(1, 2, 3)))[: len(self.ii)]
         mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
         self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
         self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
@@ -225,31 +307,37 @@ class FactorGraph:
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
-        self.net = self.inp = None
-        self.target = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
-        self.weight = jnp.zeros((0, self.h8, self.w8, 2), jnp.float32)
+        self.E = 0
+        # buffers keep their capacity; rows become stale (E == 0)
 
     # ------------------------------------------------------------------
     # recurrent update (jit hot path)
     # ------------------------------------------------------------------
 
     def _pad_edge_arrays(self, E_pad):
-        """Pad per-edge device state to the bucket size (padding edges have
-        ii = jj = -1 and zero state)."""
+        """Per-edge device state at exactly E_pad rows (padding edges have
+        ii = jj = -1; their state rows are stale-but-masked downstream)."""
         E = len(self.ii)
         pad = E_pad - E
+        self._grow_active(E_pad)
 
-        def padz(x):
-            if pad == 0:
-                return x
-            return jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0
-            )
+        def take(x):
+            return x if E_pad == self.cap else x[:E_pad]
 
         ii_p = np.concatenate([self.ii, -np.ones(pad, np.int64)]).astype(np.int32)
         jj_p = np.concatenate([self.jj, -np.ones(pad, np.int64)]).astype(np.int32)
-        return (padz(self.net), padz(self.inp), padz(self.target),
+        return (take(self.net), take(self.inp), take(self.target),
                 ii_p, jj_p)
+
+    def _set_active_rows(self, net2, target2, weight2, E_pad):
+        """Install E_pad rows of refreshed per-edge state into the
+        capacity buffers (rows beyond E_pad keep their stale content)."""
+        if E_pad == self.cap:
+            self.net, self.target, self.weight = net2, target2, weight2
+        else:
+            self.net = self.net.at[:E_pad].set(net2)
+            self.target = self.target.at[:E_pad].set(target2)
+            self.weight = self.weight.at[:E_pad].set(weight2)
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
                motion_only=False, opt_type="pose_depth"):
@@ -278,35 +366,44 @@ class FactorGraph:
             jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p),
             edge_mask, self.coords0, num_frames=M_pad,
         )
-        self.net = net2[:E]
-        self.target = target2[:E]
-        self.weight = weight2[:E]
+        self._set_active_rows(net2, target2, weight2, E_pad)
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
 
-        # per-frame damping (factor_graph.py:236,248)
-        kx_d = jnp.asarray(kx)
-        self.damping = self.damping.at[kx_d].set(eta[: len(kx)])
+        # per-frame damping (factor_graph.py:236,248) — fixed-shape
+        # masked write (an exact-length slice+scatter would recompile per
+        # distinct frame count)
+        n_kx = len(kx)
+        kx_p = jnp.asarray(
+            np.concatenate([kx, np.zeros(M_pad - n_kx, np.int64)]),
+            jnp.int32)
+        kx_valid = jnp.asarray((np.arange(M_pad) < n_kx).astype(np.float32))
+        self.damping = _frame_rows_write(self.damping, kx_p, eta, kx_valid)
 
         if use_inactive:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            idx_in = jnp.asarray(np.where(m)[0], jnp.int32)
             ii = np.concatenate([self.ii_inac[m], self.ii])
             jj = np.concatenate([self.jj_inac[m], self.jj])
             target = jnp.concatenate(
-                [self.target_inac[jnp.asarray(m)], self.target], 0
+                [self.target_inac[idx_in], self.target[:E]], 0
             )
             weight = jnp.concatenate(
-                [self.weight_inac[jnp.asarray(m)], self.weight], 0
+                [self.weight_inac[idx_in], self.weight[:E]], 0
             )
         else:
-            ii, jj, target, weight = self.ii, self.jj, self.target, self.weight
+            ii, jj = self.ii, self.jj
+            target, weight = self.target[:E], self.weight[:E]
 
-        eta_ba = 0.2 * self.damping[jnp.asarray(np.unique(ii))] + EP
+        kxu = np.unique(ii)
+        kxu_p = np.concatenate(
+            [kxu, np.zeros(bucket(len(kxu)) - len(kxu), np.int64)])
+        eta_ba = 0.2 * self.damping[jnp.asarray(kxu_p, jnp.int32)] + EP
         v.ba(target, weight, eta_ba, ii, jj, t0, t1, iters=itrs, lm=1e-4,
              ep=0.1, motion_only=motion_only, opt_type=opt_type)
 
-        v.upsample(kx, upmask[: len(kx)])
+        v.upsample(kx, upmask)
         self.age += 1
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8,
@@ -318,7 +415,8 @@ class FactorGraph:
         v = self.video
         for step in range(steps):
             E = len(self.ii)
-            E_pad = bucket(E)
+            self._grow_active(E)
+            E_pad = self.cap
             ii_r = np.concatenate(
                 [self.ii, np.zeros(E_pad - E, np.int64)]
             ).astype(np.int32)
@@ -328,7 +426,6 @@ class FactorGraph:
             coords1_all, _ = v.reproject(
                 jnp.asarray(ii_r), jnp.asarray(jj_r)
             )
-            coords1_all = coords1_all[:E]
             motn_all = jnp.concatenate(
                 [coords1_all - self.coords0[None],
                  self.target - coords1_all], axis=-1
@@ -354,50 +451,49 @@ class FactorGraph:
                 pad = Ec_pad - Ec
                 iis = np.concatenate([self.ii[idx], -np.ones(pad, np.int64)])
                 jjs = np.concatenate([self.jj[idx], -np.ones(pad, np.int64)])
-                sel_d = jnp.asarray(idx)
+                # fixed-shape gathers: pad the INDEX list, not the result
+                idx_p = np.concatenate([idx, np.zeros(pad, np.int64)])
+                sel_d = jnp.asarray(idx_p, jnp.int32)
+                valid = jnp.asarray(
+                    (np.arange(Ec_pad) < Ec).astype(np.float32))
 
-                def padz(x):
-                    if pad == 0:
-                        return x
-                    return jnp.concatenate(
-                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0
-                    )
-
-                coords_c = padz(coords1_all[sel_d])
+                coords_c = coords1_all[sel_d]
                 kx, kk = np.unique(self.ii[idx], return_inverse=True)
                 M_pad = bucket(len(kx))
                 kk_p = np.concatenate([kk, np.full(pad, M_pad - 1)]).astype(
                     np.int32
                 )
-                edge_mask = jnp.asarray(
-                    np.concatenate([np.ones(Ec), np.zeros(pad)]).astype(
-                        np.float32
-                    )
-                )
                 out = _lowmem_chunk_step(
                     self.update_apply, self.params, v.corr_pyr,
-                    padz(self.net[sel_d]), v.inps[jnp.asarray(
-                        np.concatenate([self.ii[idx],
-                                        np.zeros(pad, np.int64)]))].astype(
+                    self.net[sel_d], v.inps[jnp.asarray(
+                        np.maximum(iis, 0).astype(np.int32))].astype(
                         jnp.bfloat16),
-                    coords_c, padz(motn_all[sel_d]),
+                    coords_c, motn_all[sel_d],
                     jnp.asarray(np.maximum(iis, 0).astype(np.int32)),
                     jnp.asarray(np.maximum(jjs, 0).astype(np.int32)),
-                    jnp.asarray(kk_p), edge_mask, num_frames=M_pad,
+                    jnp.asarray(kk_p), valid, num_frames=M_pad,
                 )
                 net2, delta, weight2, eta, upmask = out
-                self.net = self.net.at[sel_d].set(net2[:Ec])
-                self.target = self.target.at[sel_d].set(
-                    (coords_c + delta.astype(jnp.float32))[:Ec]
-                )
-                self.weight = self.weight.at[sel_d].set(
-                    weight2.astype(jnp.float32)[:Ec]
-                )
-                kx_d = jnp.asarray(kx)
-                self.damping = self.damping.at[kx_d].set(eta[: len(kx)])
-                v.upsample(kx, upmask[: len(kx)])
+                self.net = _rows_write(self.net, sel_d, net2, valid)
+                self.target = _rows_write(
+                    self.target, sel_d,
+                    coords_c + delta.astype(jnp.float32), valid)
+                self.weight = _rows_write(
+                    self.weight, sel_d, weight2.astype(jnp.float32), valid)
+                n_kx = len(kx)
+                kx_p = jnp.asarray(
+                    np.concatenate([kx, np.zeros(M_pad - n_kx, np.int64)]),
+                    jnp.int32)
+                kx_valid = jnp.asarray(
+                    (np.arange(M_pad) < n_kx).astype(np.float32))
+                self.damping = _frame_rows_write(
+                    self.damping, kx_p, eta, kx_valid)
+                v.upsample(kx, upmask)
 
-            eta_ba = 0.2 * self.damping[jnp.asarray(np.unique(self.ii))] + EP
+            kxu = np.unique(self.ii)
+            kxu_p = np.concatenate(
+                [kxu, np.zeros(bucket(len(kxu)) - len(kxu), np.int64)])
+            eta_ba = 0.2 * self.damping[jnp.asarray(kxu_p, jnp.int32)] + EP
             if enable_wq:
                 opt_type = "pose_depth" if step % 2 == 0 else "depth_scale"
             else:

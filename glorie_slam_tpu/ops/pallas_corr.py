@@ -176,14 +176,17 @@ def _lookup_feats_kernel(iis_ref, jjs_ref, coords_ref, f1_ref, f2_ref,
 
     def corr_rows(row_lo, nrows):
         """(nrows, wl, PLANE) f32 correlation plane rows [row_lo, +nrows)."""
-        rows = f2_ref[0, pl.ds(row_lo * wl, nrows * wl), :]   # (nrows*wl, C)
+        # Mosaic needs the dynamic sublane start 8-aligned; row_lo*wl is a
+        # multiple of 8 whenever wl is (the banded path is gated on that)
+        start = pl.multiple_of(row_lo * wl, 8)
+        rows = f2_ref[0, pl.ds(start, nrows * wl), :]   # (nrows*wl, C)
         p = jax.lax.dot_general(
             rows, f1, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return p.reshape(nrows, wl, PLANE) * scale
 
-    if band is not None and band < hl:
+    if band is not None and band < hl and wl % 8 == 0:
         y_min = jnp.min(y)
         y_max = jnp.max(y)
         ybase = jnp.clip(
@@ -281,14 +284,17 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
             jnp.int32, (wl, 1), 0).astype(jnp.float32)
 
         def corr_rows(row_lo, nrows, f2=f2):
-            rows = f2[0, pl.ds(row_lo * wl, nrows * wl), :]
+            # banded path gated on wl % 8 == 0 so row_lo*wl stays
+            # sublane-aligned (pl.multiple_of carries the fact to Mosaic)
+            start = pl.multiple_of(row_lo * wl, 8)
+            rows = f2[0, pl.ds(start, nrows * wl), :]
             p = jax.lax.dot_general(
                 rows, f1, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return p.reshape(nrows, wl, PLANE) * scale
 
-        if band is not None and band < hl:
+        if band is not None and band < hl and wl % 8 == 0:
             y_min = jnp.min(y)
             y_max = jnp.max(y)
             ybase = jnp.clip(

@@ -84,13 +84,17 @@ class Backend:
             agg_apply=self.tn.agg_apply,
         )
         if local_graph is not None:
-            # seed from a copy of the frontend graph (backend.py:84-89)
+            # seed from a copy of the frontend graph (backend.py:84-89);
+            # adopt its capacity buffers wholesale (fixed-shape storage)
             graph.ii = local_graph.ii.copy()
             graph.jj = local_graph.jj.copy()
             graph.age = local_graph.age.copy()
             graph.net = local_graph.net
+            graph.inp = local_graph.inp
             graph.target = local_graph.target
             graph.weight = local_graph.weight
+            graph.cap = local_graph.cap
+            graph.E = len(graph.ii)
 
         left = max_factors - len(graph.ii)
         n_edges = self._ba(

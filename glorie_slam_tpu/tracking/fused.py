@@ -357,44 +357,40 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
 
     if use_inactive:
         m = (graph.ii_inac >= t0 - 3) & (graph.jj_inac >= t0 - 3)
-        ii_in = graph.ii_inac[m]
-        jj_in = graph.jj_inac[m]
-        tgt_in = graph.target_inac[jnp.asarray(m)]
-        wgt_in = graph.weight_inac[jnp.asarray(m)]
+        sel = np.where(m)[0]
     else:
-        ii_in = np.zeros(0, np.int64)
-        jj_in = np.zeros(0, np.int64)
-        tgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
-        wgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
+        sel = np.zeros(0, np.int64)
 
-    EI = len(ii_in)
     # cap the inactive block at E_cap, keeping the most RECENTLY stored
     # edges (those nearest the current window; the ii >= t0-3 filter means
     # anything dropped is an older eviction whose endpoints are mostly
     # pose-fixed). This bounds EB = 2*E_cap for the whole run: one compile,
     # and the BA linearization cost stays flat as the inactive pool grows.
-    if E_cap and EI > E_cap:
-        ii_in = ii_in[-E_cap:]
-        jj_in = jj_in[-E_cap:]
-        tgt_in = tgt_in[-E_cap:]
-        wgt_in = wgt_in[-E_cap:]
-        EI = E_cap
+    if E_cap and len(sel) > E_cap:
+        sel = sel[-E_cap:]
+    EI = len(sel)
+    ii_in = graph.ii_inac[sel]
+    jj_in = graph.jj_inac[sel]
     # pin the inactive bucket to E_cap: EB is then a single value for the
-    # whole run. A fluctuating bucket looks cheap (one compile per value)
-    # but on this host an XLA compile of the fused program costs 1-4 MIN —
-    # carrying a dead padded block through the BA build is far cheaper.
-    EI_pad = max(bucket(EI), E_cap) if (EI or E_cap) else 0
+    # whole run; the pool rows are fetched with ONE fixed-shape padded
+    # gather (an exact-size boolean gather would be a fresh tiny compile
+    # per distinct inactive count — one per frame while the pool grows)
+    EI_pad = max(bucket(max(EI, 1)), E_cap) if (EI or E_cap) else 0
     if EI_pad:
         padi = EI_pad - EI
         ii_in_p = np.concatenate([ii_in, -np.ones(padi, np.int64)])
         jj_in_p = np.concatenate([jj_in, -np.ones(padi, np.int64)])
-        tgt_in = jnp.concatenate(
-            [tgt_in, jnp.zeros((padi,) + tgt_in.shape[1:], tgt_in.dtype)], 0)
-        wgt_in = jnp.concatenate(
-            [wgt_in, jnp.zeros((padi,) + wgt_in.shape[1:], wgt_in.dtype)], 0)
+        sel_p = jnp.asarray(
+            np.concatenate([sel, np.zeros(padi, np.int64)]), jnp.int32)
+        in_valid = jnp.asarray(
+            (np.arange(EI_pad) < EI).astype(np.float32))
+        tgt_in = graph.target_inac[sel_p] * in_valid[:, None, None, None]
+        wgt_in = graph.weight_inac[sel_p] * in_valid[:, None, None, None]
     else:
         ii_in_p = np.zeros(0, np.int64)
         jj_in_p = np.zeros(0, np.int64)
+        tgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
+        wgt_in = jnp.zeros((0, graph.h8, graph.w8, 2), jnp.float32)
 
     ii_ba = np.concatenate([ii_in_p, ii_p.astype(np.int64)]).astype(np.int32)
     jj_ba = np.concatenate([jj_in_p, jj_p.astype(np.int64)]).astype(np.int32)
@@ -502,12 +498,9 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     v.depth_shift = dsh
     v.valid_depth_mask_small = vm
     graph.damping = damping
-    E = st["E"]
-    # keep BOTH the compact view (external surface) and the padded arrays
-    # (reused by the next fused call at the same version, zero re-padding)
+    # keep BOTH the graph's capacity buffers (external surface) and the
+    # padded arrays (reused by the next fused call at the same version)
     st["net"], st["target"] = net2, target2
-    graph.net = net2[:E]
-    graph.target = target2[:E]
-    graph.weight = weight2[:E]
+    graph._set_active_rows(net2, target2, weight2, st["E_pad"])
     graph.age += rounds
     return kf_dist

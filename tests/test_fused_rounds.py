@@ -74,9 +74,9 @@ def _snapshot(video, graph, n):
         scale=np.asarray(video.depth_scale[:n]),
         shift=np.asarray(video.depth_shift[:n]),
         vmask=np.asarray(video.valid_depth_mask_small[:n]),
-        net=np.asarray(graph.net, np.float32),
-        target=np.asarray(graph.target),
-        weight=np.asarray(graph.weight),
+        net=np.asarray(graph.net, np.float32)[: len(graph.ii)],
+        target=np.asarray(graph.target)[: len(graph.ii)],
+        weight=np.asarray(graph.weight)[: len(graph.ii)],
         damping=np.asarray(graph.damping[:n]),
     )
 
