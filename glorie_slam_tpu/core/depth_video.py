@@ -350,9 +350,15 @@ class DepthVideo:
                 return False
             # refresh low-res multiview validity + per-frame scale/shift init
             self.update_valid_depth_mask(up=False)
-            mono = self.mono_disps[:curr]
-            est = self.disps[:curr]
-            valid = self.valid_depth_mask_small[:curr].astype(jnp.float32)
+            # frame window padded to a bucket: exact [:curr] slices mint a
+            # fresh XLA program every keyframe (curr grows by one each time)
+            P = bucket(curr)
+            idx_np = np.minimum(np.arange(P), curr - 1)
+            idx = jnp.asarray(idx_np, jnp.int32)
+            row_ok = jnp.asarray((np.arange(P) < curr).astype(np.float32))
+            mono = self.mono_disps[idx]
+            est = self.disps[idx]
+            valid = self.valid_depth_mask_small[idx].astype(jnp.float32)
             scale_t, shift_t, error_t = alignment.align_scale_and_shift(
                 mono, est, valid
             )
@@ -363,8 +369,11 @@ class DepthVideo:
             ok = jnp.isfinite(scale_t) & jnp.isfinite(shift_t)
             scale_t = jnp.where(ok, scale_t, 1.0)
             shift_t = jnp.where(ok, shift_t, 0.0)
-            self.depth_scale = self.depth_scale.at[:curr].set(scale_t)
-            self.depth_shift = self.depth_shift.at[:curr].set(shift_t)
+            # pad rows are CLAMPED duplicates of row curr-1, and scale_t
+            # is row-wise deterministic, so duplicate indices carry
+            # identical values — the scatter is well-defined
+            self.depth_scale = self.depth_scale.at[idx].set(scale_t)
+            self.depth_shift = self.depth_shift.at[idx].set(shift_t)
 
             ii_t, jj_t, target_t, weight_t = ii, jj, target, weight
             if self.mono_thres:

@@ -116,13 +116,19 @@ def pool_feat_levels(f, num_levels: int = LEVELS):
     outs = []
     for _ in range(num_levels - 1):
         *lead, h, w, C = f.shape
-        h2, w2 = h // 2, w // 2
-        f = f[..., : h2 * 2, : w2 * 2, :]
+        # clamp at 1: tiny (test-scale) maps must not pool away to zero
+        # rows — a 0-sized plane is an invalid kernel block
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        f = f[..., : min(h2 * 2, h), : min(w2 * 2, w), :]
         # separable two-step mean: each reduce collapses one CONTIGUOUS
         # size-2 window axis (a single fused (h2,2,w2,2) window reduce
         # lowers to a strided gather on TPU and is ~10x slower)
-        f = f.reshape(*lead, h2 * 2, w2, 2, C).mean(axis=-2)
-        f = f.reshape(*lead, h2, 2, w2, C).mean(axis=-3)
+        hs = min(h2 * 2, h)
+        ws = min(w2 * 2, w)
+        if ws == w2 * 2:
+            f = f.reshape(*lead, hs, w2, 2, C).mean(axis=-2)
+        if hs == h2 * 2:
+            f = f.reshape(*lead, h2, 2, w2, C).mean(axis=-3)
         outs.append(f)
     return outs
 
