@@ -327,13 +327,6 @@ def _stable_caps(graph):
     return E_cap, span_cap
 
 
-def _pow2_bucket(n):
-    p = 8
-    while p < n:
-        p *= 2
-    return p
-
-
 def _assemble(graph, t0_arg, t1_arg, use_inactive):
     """Build the per-version padded device state + packed uploads."""
     v = graph.video

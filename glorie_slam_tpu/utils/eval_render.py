@@ -92,7 +92,11 @@ def eval_kf_imgs(mapper, suffix=""):
         if cnt == 0:
             printer.print("No keyframes to render.", subsystem="eval")
             return
-        lines = []
+        # LPIPS provenance: 'untrained' numbers are NOT comparable to the
+        # reference's published LPIPS (reference eval_render.py:27-28 loads
+        # pretrained torchmetrics alex weights unconditionally)
+        lines = [f"lpips_variant: {image_metrics.lpips_variant()}"
+                 if lpips_available else "lpips_variant: unavailable"]
         for key, label in [("m_ssim", "avg_masked_ssim"),
                            ("m_psnr", "avg_masked_psnr"),
                            ("m_lpips", "avg_masked_lpips"),

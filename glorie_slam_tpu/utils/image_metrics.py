@@ -249,6 +249,17 @@ def _lpips_get_state():
     return _LPIPS_STATE
 
 
+def lpips_variant():
+    """Provenance of the LPIPS numbers this process produces:
+    'pretrained' (reference-comparable, checkpoint weights loaded) or
+    'untrained' (fixed-seed fallback, NOT comparable to published LPIPS).
+    Every metrics file that records an LPIPS value must record this too
+    (VERDICT r2 missing #5) so env-bound fallback numbers can never be
+    mistaken for reference-comparable ones."""
+    state = _lpips_get_state()
+    return "pretrained" if state.get("pretrained") else "untrained"
+
+
 def lpips(img_a, img_b):
     """LPIPS(alex) perceptual distance; images (H, W, 3) in [0, 1].
 

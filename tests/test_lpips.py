@@ -28,6 +28,44 @@ def test_lpips_sanity():
     assert im.lpips(b, a) == pytest.approx(d_ab, rel=1e-5)
 
 
+def test_lpips_variant_provenance():
+    """Without checkpoints, lpips_variant() must say 'untrained' so eval
+    outputs record non-reference-comparable provenance (VERDICT r2 #5)."""
+    im._LPIPS_STATE.clear()
+    try:
+        assert im.lpips_variant() == "untrained"
+    finally:
+        im._LPIPS_STATE.clear()
+
+
+def test_lpips_variant_written_to_metrics(tmp_path):
+    """eval_kf_imgs writes a lpips_variant line into the metrics file."""
+    from glorie_slam_tpu.utils import eval_render
+
+    class _P:
+        def print(self, *a, **k):
+            pass
+
+    class _Mapper:
+        printer = _P()
+        output = str(tmp_path)
+        keyframe_dict = [{"idx": 0, "video_idx": 0}]
+        frame_reader = [
+            (0, np.zeros((16, 16, 3), np.float32),
+             np.ones((16, 16), np.float32), None)
+        ]
+
+        def render_keyframe_img(self, video_idx, idx, mono_depth=None):
+            img = np.zeros((16, 16, 3), np.float32)
+            return np.ones((16, 16), np.float32), img, \
+                np.ones((16, 16), np.float32)
+
+    (tmp_path / "logs").mkdir()
+    eval_render.eval_kf_imgs(_Mapper())
+    text = (tmp_path / "logs" / "metrics_render_kf.txt").read_text()
+    assert "lpips_variant: untrained" in text
+
+
 def test_lpips_pretrained_path_matches_torch(tmp_path, monkeypatch):
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
