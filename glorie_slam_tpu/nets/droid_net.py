@@ -89,7 +89,13 @@ class BasicEncoder(nn.Module):
 
 
 class ConvGRU(nn.Module):
-    """reference gru.py:5-33: ConvGRU with a global-context pathway."""
+    """reference gru.py:5-33: ConvGRU with a global-context pathway.
+
+    The reference's separate convz/convr (and convz_glo/convr_glo) share the
+    same input, so they run here as ONE double-width conv each (``convzr``,
+    ``convzr_glo``; channels [z | r]) — identical math, half the conv
+    dispatches on the per-round hot path. The checkpoint importer
+    concatenates the torch kernels accordingly (import_torch.py)."""
     h_planes: int = 128
     dtype: Any = jnp.float32
 
@@ -102,18 +108,14 @@ class ConvGRU(nn.Module):
         ) * net
         glo = jnp.mean(glo, axis=(1, 2), keepdims=True)  # (B,1,1,128)
 
-        z = nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), padding=1, dtype=self.dtype,
-                    name="convz")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), dtype=self.dtype,
-                      name="convz_glo")(glo)
+        zr = nn.sigmoid(
+            nn.Conv(2 * self.h_planes, (3, 3), padding=1, dtype=self.dtype,
+                    name="convzr")(net_inp)
+            + nn.Conv(2 * self.h_planes, (1, 1), dtype=self.dtype,
+                      name="convzr_glo")(glo)
         )
-        r = nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), padding=1, dtype=self.dtype,
-                    name="convr")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), dtype=self.dtype,
-                      name="convr_glo")(glo)
-        )
+        z = zr[..., :self.h_planes]
+        r = zr[..., self.h_planes:]
         q = nn.tanh(
             nn.Conv(self.h_planes, (3, 3), padding=1, dtype=self.dtype,
                     name="convq")(jnp.concatenate([r * net, inp], axis=-1))
@@ -182,9 +184,11 @@ class UpdateModule(nn.Module):
         self.corr_enc_2 = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype)
         self.flow_enc_1 = nn.Conv(128, (7, 7), padding=3, dtype=self.dtype)
         self.flow_enc_2 = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype)
-        self.weight_1 = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype)
+        # delta_1 + weight_1 share the input (net), so they run as ONE
+        # double-width conv: channels [delta(128) | weight(128)]. The
+        # importer concatenates the reference's separate kernels.
+        self.dw_1 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype)
         self.weight_2 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype)
-        self.delta_1 = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype)
         self.delta_2 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype)
         self.gru = ConvGRU(128, dtype=self.dtype)
         self.agg = GraphAgg(dtype=self.dtype)
@@ -209,8 +213,9 @@ class UpdateModule(nn.Module):
 
         net = self.gru(net, jnp.concatenate([inp, corr, flow], axis=-1))
 
-        delta = self.delta_2(nn.relu(self.delta_1(net)))
-        weight = nn.sigmoid(self.weight_2(nn.relu(self.weight_1(net))))
+        dw = nn.relu(self.dw_1(net))
+        delta = self.delta_2(dw[..., :128])
+        weight = nn.sigmoid(self.weight_2(dw[..., 128:]))
 
         if kk is not None:
             eta, upmask = self.agg(net, kk, num_frames, edge_mask,

@@ -35,18 +35,28 @@ def _mapping() -> Dict[str, tuple]:
     m[f"{u}.corr_encoder.2"] = (u, "corr_enc_2")
     m[f"{u}.flow_encoder.0"] = (u, "flow_enc_1")
     m[f"{u}.flow_encoder.2"] = (u, "flow_enc_2")
-    m[f"{u}.weight.0"] = (u, "weight_1")
     m[f"{u}.weight.2"] = (u, "weight_2")
-    m[f"{u}.delta.0"] = (u, "delta_1")
     m[f"{u}.delta.2"] = (u, "delta_2")
-    for g in ("convz", "convr", "convq", "w", "convz_glo", "convr_glo",
-              "convq_glo"):
+    for g in ("convq", "w", "convq_glo"):
         m[f"{u}.gru.{g}"] = (u, "gru", g)
     m[f"{u}.agg.conv1"] = (u, "agg", "conv1")
     m[f"{u}.agg.conv2"] = (u, "agg", "conv2")
     m[f"{u}.agg.eta.0"] = (u, "agg", "eta")
     m[f"{u}.agg.upmask.0"] = (u, "agg", "upmask")
     return m
+
+
+def _fused_mapping() -> Dict[tuple, tuple]:
+    """flax fused-conv path -> ordered torch key prefixes concatenated along
+    the OUTPUT channel dim (the flax modules run the reference's sibling
+    convs as one double-width conv; see droid_net.ConvGRU / UpdateModule)."""
+    u = "update"
+    return {
+        (u, "gru", "convzr"): (f"{u}.gru.convz", f"{u}.gru.convr"),
+        (u, "gru", "convzr_glo"): (f"{u}.gru.convz_glo",
+                                   f"{u}.gru.convr_glo"),
+        (u, "dw_1"): (f"{u}.delta.0", f"{u}.weight.0"),
+    }
 
 
 def torch_state_to_params(state: Dict[str, np.ndarray]) -> dict:
@@ -81,6 +91,25 @@ def torch_state_to_params(state: Dict[str, np.ndarray]) -> dict:
             leaf["bias"] = state[bkey].astype(np.float32)
             used.add(bkey)
 
+    # fused double-width convs: concatenate the torch siblings along O
+    for path, prefixes in _fused_mapping().items():
+        wkeys = [f"{p}.weight" for p in prefixes]
+        if any(k not in state for k in wkeys):
+            continue
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        leaf = node.setdefault(path[-1], {})
+        leaf["kernel"] = np.concatenate(
+            [np.transpose(state[k], (2, 3, 1, 0)) for k in wkeys], axis=-1
+        ).astype(np.float32)
+        used.update(wkeys)
+        bkeys = [f"{p}.bias" for p in prefixes]
+        if all(k in state for k in bkeys):
+            leaf["bias"] = np.concatenate(
+                [state[k] for k in bkeys]).astype(np.float32)
+            used.update(bkeys)
+
     leftovers = [
         k for k in state
         if k not in used and not k.endswith("num_batches_tracked")
@@ -109,6 +138,27 @@ def params_to_torch_state(variables: dict) -> Dict[str, np.ndarray]:
         )
         if "bias" in node:
             state[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    # split the fused double-width convs back into the torch siblings
+    for path, prefixes in _fused_mapping().items():
+        node = params
+        ok = True
+        for p in path:
+            if p not in node:
+                ok = False
+                break
+            node = node[p]
+        if not ok:
+            continue
+        kernel = np.asarray(node["kernel"])
+        halves = np.split(kernel, len(prefixes), axis=-1)
+        for prefix, half in zip(prefixes, halves):
+            state[f"{prefix}.weight"] = np.transpose(half, (3, 2, 0, 1))
+        if "bias" in node:
+            for prefix, half in zip(
+                    prefixes, np.split(np.asarray(node["bias"]),
+                                       len(prefixes))):
+                state[f"{prefix}.bias"] = half
     return state
 
 

@@ -19,15 +19,18 @@ from ..ops import corr as corr_mod
 
 
 @partial(jax.jit, static_argnames=("features_apply", "update_apply"))
-def _encode_and_flow(features_apply, update_apply, params, inputs,
+def _encode_and_flow(features_apply, update_apply, params, image,
                      fmap_kf, net, inp):
     """fnet encode of the incoming frame + one GRU iteration at zero flow
     -> (fmap_new, mean |delta|) in ONE program (reference
     motion_filter.py:52-85; fused here because every dispatch costs a
-    full round trip on the remote-device transport).
+    full round trip on the remote-device transport). ImageNet
+    normalization happens in-program too (image: (H, W, 3) in [0, 1]) —
+    eager elementwise ops each cost a remote dispatch.
 
     The correlation windows come from the two frames' features directly
     (same in-kernel path as the tracker, corr.lookup_pyramid_feats)."""
+    inputs = droid_net.normalize_images(image[None])
     fmap_new = features_apply(params, inputs)
     h, w = fmap_kf.shape[1:3]
     coords0 = projective.coords_grid(h, w)[None]
@@ -68,25 +71,51 @@ class MotionFilter:
         self.fmap = None
         self.net = None
         self.inp = None
+        # one-frame lookahead: (tstamp, gmap, delta_norm) dispatched while
+        # the device was busy with the previous frame's fused rounds
+        self._pending = None
 
     def _mono_depth(self, tstamp, image):
         if self.mono_predictor is not None:
             return self.mono_predictor(tstamp, image)
         return None
 
+    def prefetch(self, tstamp, image):
+        """Dispatch the NEXT frame's encode + flow probe without blocking.
+
+        Called by the tracker right before the current frame's frontend
+        update: the probe's inputs (last keyframe fmap/net/inp) are already
+        final at that point — admission for the current frame happened in
+        ``track`` and a later frontend cull does NOT reset the filter state
+        (reference motion_filter.py keeps its comparison features through
+        culls too) — so the probe overlaps the multi-second fused-rounds
+        program instead of serializing after it (~hides the full encode +
+        dispatch latency per frame)."""
+        if self.video.counter == 0 or self.fmap is None:
+            return
+        out = _encode_and_flow(
+            self.tn.features_apply, self.tn.update_apply,
+            self.tn.params, image, self.fmap, self.net, self.inp,
+        )
+        self._pending = (tstamp, out)
+
     def track(self, tstamp, image, intrinsics):
         """image: (H, W, 3) float in [0,1]; intrinsics: full-res [fx,fy,cx,cy].
 
         Returns True when the frame was admitted as a keyframe.
         """
-        inputs = droid_net.normalize_images(image[None])
         if self.video.counter == 0:
+            inputs = droid_net.normalize_images(image[None])
             gmap = self.tn.features(inputs)
             delta_norm = None
+        elif self._pending is not None and self._pending[0] == tstamp:
+            gmap, delta_norm = self._pending[1]
+            self._pending = None
         else:
+            self._pending = None
             gmap, delta_norm = _encode_and_flow(
                 self.tn.features_apply, self.tn.update_apply,
-                self.tn.params, inputs, self.fmap, self.net, self.inp,
+                self.tn.params, image, self.fmap, self.net, self.inp,
             )
 
         cadence_mono = None
@@ -95,7 +124,8 @@ class MotionFilter:
             cadence_mono = self.mono_predictor(tstamp, image)
 
         def admit():
-            net, inp = self.tn.context(inputs)
+            net, inp = self.tn.context(
+                droid_net.normalize_images(image[None]))
             self.fmap, self.net, self.inp = gmap, net, inp
             mono = (cadence_mono if cadence_mono is not None
                     else self._mono_depth(tstamp, image))

@@ -53,10 +53,22 @@ class Tracker:
         intrinsic = stream.get_intrinsic()
 
         timer = self.timer
+        nxt = None
         for i in range(len(stream)):
-            timestamp, image = stream[i][0], stream[i][1]
+            if nxt is not None:
+                timestamp, image = nxt
+            else:
+                timestamp, image = stream[i][0], stream[i][1]
             with timer.phase("motion_filter"):
                 self.motion_filter.track(timestamp, image, intrinsic)
+            # one-frame lookahead: load the next frame and dispatch its
+            # encode+flow probe NOW, so it overlaps the fused-rounds program
+            # the frontend is about to block on (see MotionFilter.prefetch)
+            nxt = None
+            if i + 1 < len(stream):
+                nxt = (stream[i + 1][0], stream[i + 1][1])
+                with timer.phase("prefetch"):
+                    self.motion_filter.prefetch(nxt[0], nxt[1])
             with timer.phase("frontend"):
                 self.frontend()
             curr_kf_idx = self.video.counter - 1

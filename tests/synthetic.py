@@ -62,19 +62,34 @@ def render_frame(pose_w2c, intrinsics, H, W, texture, tex_scale=50.0):
 class SyntheticStream:
     """Duck-typed dataset (matches utils.datasets.BaseDataset surface)."""
 
-    def __init__(self, n_frames=30, H=64, W=96, seed=0, motion_scale=0.02):
+    def __init__(self, n_frames=30, H=64, W=96, seed=0, motion_scale=0.02,
+                 trajectory="walk"):
         rng = np.random.default_rng(seed)
         self.H, self.W = H, W
         self.intrinsics = np.array(
             [W * 0.8, W * 0.8, W / 2 - 0.5, H / 2 - 0.5], np.float32
         )
         self.texture = make_texture(seed=seed)
-        # smooth sideways + forward motion with small rotation
-        twists = rng.normal(size=(n_frames, 6))
-        twists[:, :2] = np.abs(twists[:, :2]) * motion_scale * 4
-        twists[:, 2] *= motion_scale
-        twists[:, 3:] *= motion_scale * 0.3
-        xi = np.cumsum(twists, 0)
+        if trajectory == "circuit":
+            # sweep away along +x and RETURN to the start: mid-trajectory
+            # frames are far from early ones (no spurious loop edges), the
+            # final stretch genuinely revisits the start — exercising the
+            # loop-closure trigger (|i-j| > 20 rule) the way a real scene
+            # does, instead of the random walk whose every frame pair
+            # "loops"
+            t = np.linspace(0, 2 * np.pi, n_frames)
+            xi = np.zeros((n_frames, 6))
+            xi[:, 0] = 2.0 * np.sin(t / 2) ** 2          # out and back
+            xi[:, 1] = 0.15 * np.sin(t)                  # mild sway
+            xi[:, 2] = 0.1 * np.sin(t)                   # mild dolly
+            xi[:, 3:] = rng.normal(size=(n_frames, 3)) * motion_scale * 0.2
+        else:
+            # smooth sideways + forward motion with small rotation
+            twists = rng.normal(size=(n_frames, 6))
+            twists[:, :2] = np.abs(twists[:, :2]) * motion_scale * 4
+            twists[:, 2] *= motion_scale
+            twists[:, 3:] *= motion_scale * 0.3
+            xi = np.cumsum(twists, 0)
         import jax.numpy as jnp
 
         self.poses_w2c = np.asarray(lie.exp(jnp.asarray(xi, jnp.float32)))
