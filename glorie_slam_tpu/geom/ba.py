@@ -45,6 +45,12 @@ import jax.numpy as jnp
 from . import lie, projective
 
 _HI = jax.lax.Precision.HIGHEST
+# The Schur gram + its one-hot placements are the three largest MXU
+# contractions of a GN iteration (~150 GFLOP combined at bench scale);
+# HIGH (bf16x3) halves their MXU passes vs HIGHEST (bf16x6) for ~1e-6
+# relative error on well-damped systems — measured ~2 ms/GN (ROADMAP r2
+# lever). Everything feeding the residuals/Jacobians stays HIGHEST.
+_GRAM = jax.lax.Precision.HIGH
 
 
 # ---------------------------------------------------------------------------
@@ -248,8 +254,8 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
         rows_all, slots_all = jax.vmap(frame_rows)(adj, adj_mask, ks)
         rq_all = rows_all * Q[:, None, None, :]
         gram_all = jnp.einsum("kldp,kmep->klmde", rq_all, rows_all,
-                              precision=_HI)
-        ev_all = jnp.einsum("kldp,kp->kld", rq_all, wz, precision=_HI)
+                              precision=_GRAM)
+        ev_all = jnp.einsum("kldp,kp->kld", rq_all, wz, precision=_GRAM)
 
         # scatter the per-frame grams into the dense pose system via ONE-HOT
         # contractions: a .at[slots, slots].add scatter of K*(1+D)^2 6x6
@@ -260,9 +266,9 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
                   == jnp.arange(P_max + 1)[None, None, :]).astype(
                       poses.dtype)                       # (K, L, P+1)
         t_mid = jnp.einsum("klp,klmde->kpmde", onehot, gram_all,
-                           precision=_HI)
-        S = jnp.einsum("kpmde,kmq->pqde", t_mid, onehot, precision=_HI)
-        vs = jnp.einsum("klp,kld->pd", onehot, ev_all, precision=_HI)
+                           precision=_GRAM)
+        S = jnp.einsum("kpmde,kmq->pqde", t_mid, onehot, precision=_GRAM)
+        vs = jnp.einsum("klp,kld->pd", onehot, ev_all, precision=_GRAM)
 
         A = (H - S)[:P_max, :P_max].transpose(0, 2, 1, 3).reshape(
             P_max * 6, P_max * 6

@@ -28,22 +28,38 @@ RADIUS = 3
 PLANE = 128   # pixels per grid step (lane width)
 
 
-def _row_pass(plane, y, nrows, rd, row0=None):
-    """Stage 1 over ``nrows`` rows: tmp_b = Σ_h plane[h] · hat(h - (y-R+b)).
+def _window_pass(plane, x, y, nrows, wl, rd, row0=None):
+    """Both hat-reduction stages over a ``nrows``-row slab.
 
-    plane: (nrows, wl, PLANE) f32; y: (1, PLANE); row0: scalar row offset of
-    plane[0] in the full grid (None = 0). Returns (rd, wl, PLANE).
+    plane: (nrows, wl, PLANE) f32; x/y: (1, PLANE) fractional centers;
+    row0: scalar row offset of plane[0] in the full grid (None = 0).
+    Returns (rd*rd, PLANE) window values, s = a*rd + b layout.
+
+    Column (x) stage runs FIRST: its per-tap reduction spans the full
+    (nrows, wl, PLANE) volume either way, but running it first shrinks the
+    second stage's tap reductions from (wl, PLANE) to (nrows, PLANE) —
+    with the 12-row band vs an 80-column level-0 plane that is ~6x less
+    VPU work for the 49-tap pass (VERDICT r2 lever: "stage-2 hat reduction
+    off the VPU floor").
     """
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wl, 1), 0).astype(
+        jnp.float32
+    )
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0).astype(
         jnp.float32
     )
     if row0 is not None:
         h_iota = h_iota + row0.astype(jnp.float32)
-    tmps = []
-    for b in range(rd):
-        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(h_iota - (y - RADIUS + b)))
-        tmps.append(jnp.sum(plane * wgt[:, None, :], axis=0))
-    return jnp.stack(tmps, axis=0)
+    out = []
+    for a in range(rd):
+        wgtx = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - (x - RADIUS + a)))
+        tmpc = jnp.sum(plane * wgtx[None, :, :], axis=1)   # (nrows, PLANE)
+        for b in range(rd):
+            wgty = jnp.maximum(
+                0.0, 1.0 - jnp.abs(h_iota - (y - RADIUS + b)))
+            out.append(jnp.sum(tmpc * wgty, axis=0))       # (PLANE,)
+    # a-major list; stack in s = a*rd + b order
+    return jnp.stack(out, axis=0)
 
 
 def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd, band):
@@ -67,10 +83,6 @@ def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd, band):
     x = coords_ref[0, 0, :][None, :]            # (1, PLANE)
     y = coords_ref[0, 1, :][None, :]
 
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wl, 1), 0).astype(
-        jnp.float32
-    )
-
     if band is not None and band < hl:
         y_min = jnp.min(y)
         y_max = jnp.max(y)
@@ -85,21 +97,19 @@ def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd, band):
 
         def slab(_):
             p = plane_ref[0, pl.ds(ybase, band)].astype(jnp.float32)
-            return _row_pass(p, y, band, rd, row0=ybase)
+            return _window_pass(p, x, y, band, wl, rd, row0=ybase)
 
         def full(_):
-            return _row_pass(plane_ref[0].astype(jnp.float32), y, hl, rd)
+            return _window_pass(
+                plane_ref[0].astype(jnp.float32), x, y, hl, wl, rd)
 
-        tmps = jax.lax.cond(covered, slab, full, None)
+        vals = jax.lax.cond(covered, slab, full, None)
     else:
-        tmps = _row_pass(plane_ref[0].astype(jnp.float32), y, hl, rd)
+        vals = _window_pass(
+            plane_ref[0].astype(jnp.float32), x, y, hl, wl, rd)
 
-    # stage 2: for each x-offset a, lerp the row-interpolated columns
-    for a in range(rd):
-        wgtx = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - (x - RADIUS + a)))
-        for b in range(rd):
-            val = jnp.sum(tmps[b] * wgtx, axis=0)           # (PLANE,)
-            out_ref[0, a * rd + b, :] = val
+    for s in range(rd * rd):
+        out_ref[0, s, :] = vals[s]
 
 
 # stage-1 row slab (see _lookup_kernel); None disables. 12 covers the
@@ -170,10 +180,6 @@ def _lookup_feats_kernel(iis_ref, jjs_ref, coords_ref, f1_ref, f2_ref,
     y = coords_ref[0, 1, :][None, :]
     f1 = f1_ref[0]                              # (PLANE, C) bf16
 
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wl, 1), 0).astype(
-        jnp.float32
-    )
-
     def corr_rows(row_lo, nrows):
         """(nrows, wl, PLANE) f32 correlation plane rows [row_lo, +nrows)."""
         # Mosaic needs the dynamic sublane start 8-aligned; row_lo*wl is a
@@ -196,19 +202,18 @@ def _lookup_feats_kernel(iis_ref, jjs_ref, coords_ref, f1_ref, f2_ref,
         covered = top <= (ybase + band - 1).astype(jnp.float32)
 
         def slab(_):
-            return _row_pass(corr_rows(ybase, band), y, band, rd, row0=ybase)
+            return _window_pass(
+                corr_rows(ybase, band), x, y, band, wl, rd, row0=ybase)
 
         def full(_):
-            return _row_pass(corr_rows(0, hl), y, hl, rd)
+            return _window_pass(corr_rows(0, hl), x, y, hl, wl, rd)
 
-        tmps = jax.lax.cond(covered, slab, full, None)
+        vals = jax.lax.cond(covered, slab, full, None)
     else:
-        tmps = _row_pass(corr_rows(0, hl), y, hl, rd)
+        vals = _window_pass(corr_rows(0, hl), x, y, hl, wl, rd)
 
-    for a in range(rd):
-        wgtx = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - (x - RADIUS + a)))
-        for b in range(rd):
-            out_ref[0, a * rd + b, :] = jnp.sum(tmps[b] * wgtx, axis=0)
+    for s in range(rd * rd):
+        out_ref[0, s, :] = vals[s]
 
 
 @partial(jax.jit,
@@ -280,10 +285,7 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
         x = coords_ref[0, 0, :][None, :] * inv
         y = coords_ref[0, 1, :][None, :] * inv
 
-        w_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (wl, 1), 0).astype(jnp.float32)
-
-        def corr_rows(row_lo, nrows, f2=f2):
+        def corr_rows(row_lo, nrows, f2=f2, wl=wl):
             # banded path gated on wl % 8 == 0 so row_lo*wl stays
             # sublane-aligned (pl.multiple_of carries the fact to Mosaic)
             start = pl.multiple_of(row_lo * wl, 8)
@@ -303,22 +305,19 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
             top = jnp.floor(y_max) + (RADIUS + 1)
             covered = top <= (ybase + band - 1).astype(jnp.float32)
 
-            def slab(_):
-                return _row_pass(corr_rows(ybase, band), y, band, rd,
-                                 row0=ybase)
+            def slab(_, x=x, y=y, wl=wl, ybase=ybase, corr_rows=corr_rows):
+                return _window_pass(
+                    corr_rows(ybase, band), x, y, band, wl, rd, row0=ybase)
 
-            def full(_):
-                return _row_pass(corr_rows(0, hl), y, hl, rd)
+            def full(_, x=x, y=y, hl=hl, wl=wl, corr_rows=corr_rows):
+                return _window_pass(corr_rows(0, hl), x, y, hl, wl, rd)
 
-            tmps = jax.lax.cond(covered, slab, full, None)
+            vals = jax.lax.cond(covered, slab, full, None)
         else:
-            tmps = _row_pass(corr_rows(0, hl), y, hl, rd)
+            vals = _window_pass(corr_rows(0, hl), x, y, hl, wl, rd)
 
-        for a in range(rd):
-            wgtx = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - (x - RADIUS + a)))
-            for b in range(rd):
-                out_ref[0, lvl * rd * rd + a * rd + b, :] = jnp.sum(
-                    tmps[b] * wgtx, axis=0)
+        for s in range(rd * rd):
+            out_ref[0, lvl * rd * rd + s, :] = vals[s]
 
 
 @partial(jax.jit,

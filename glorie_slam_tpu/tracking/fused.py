@@ -327,7 +327,7 @@ def _stable_caps(graph):
     return E_cap, span_cap
 
 
-def _assemble(graph, t0_arg, t1_arg, use_inactive):
+def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=64):
     """Build the per-version padded device state + packed uploads."""
     v = graph.video
     E_cap, span_cap = _stable_caps(graph)
@@ -367,8 +367,13 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
     # pin the inactive bucket to E_cap: EB is then a single value for the
     # whole run; the pool rows are fetched with ONE fixed-shape padded
     # gather (an exact-size boolean gather would be a fresh tiny compile
-    # per distinct inactive count — one per frame while the pool grows)
-    EI_pad = max(bucket(max(EI, 1)), E_cap) if (EI or E_cap) else 0
+    # per distinct inactive count — one per frame while the pool grows).
+    # Callers that opt out of the inactive block (backend graphs have no
+    # pool) get EB == E_pad — no zero block bloating the BA linearization.
+    if not use_inactive:
+        EI_pad = 0
+    else:
+        EI_pad = max(bucket(max(EI, 1)), E_cap) if (EI or E_cap) else 0
     if EI_pad:
         padi = EI_pad - EI
         ii_in_p = np.concatenate([ii_in, -np.ones(padi, np.int64)])
@@ -399,10 +404,13 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
     kbase_pd = max(0, min(kbase_pd, v.buffer - K_pd))
     P_max = min(max(bucket(max(t1 - t0, 1)), span_cap), v.buffer)
     deg = int(np.bincount(comb_ii - kbase_pd, minlength=1).max())
-    # floor at 64 in steady state: per-frame degree hovers around the
+    # frontend floor 64 in steady state: per-frame degree hovers around the
     # 24/32/48 bucket edges frame-to-frame, and each crossing would be a
-    # fresh minutes-long compile of the fused program
-    Dmax = max(bucket(deg), 64 if span_cap else 0)
+    # fresh minutes-long compile of the fused program. Backend callers pass
+    # a smaller floor (their K window spans the whole trajectory, and the
+    # Schur coupling rows scale as K * Dmax * npix — a 64 floor there
+    # costs GBs of HBM for single-digit real degrees).
+    Dmax = max(bucket(deg), dmax_floor if span_cap else 0)
     adj, adj_mask = ba_mod.build_adjacency(ii_ba, EB, kbase_pd, K_pd, Dmax)
 
     ba_frame_mask = np.zeros(v.buffer, np.float32)
@@ -431,7 +439,8 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive):
 
 
 def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
-                        use_inactive=True, EP=1e-7, alternate=True):
+                        use_inactive=True, EP=1e-7, alternate=True,
+                        lm=1e-4, ep=0.1, dmax_floor=64):
     """Host wrapper: assemble padded state once per graph version, run
     ``rounds`` fused DSPO iterations, write results back into graph/video.
 
@@ -478,7 +487,7 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         P_max=st["P_max"], K_pd=st["K_pd"],
         Dmax=st["Dmax"], K_ds=st["K_ds"], M_cur=M_cur, ba_iters=itrs,
         mv_thresh=float(mv["thresh"]), visible_num=int(mv["visible_num"]),
-        mono_thres=float(mono_thres), lm=1e-4, ep=0.1, EP=EP,
+        mono_thres=float(mono_thres), lm=float(lm), ep=float(ep), EP=EP,
         beta=float(v.cfg["tracking"].get("beta", 0.3)),
     )
     (poses, disps, disps_up, net2, target2, weight2, damping, dsc, dsh,

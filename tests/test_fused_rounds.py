@@ -101,12 +101,32 @@ def test_fused_matches_sequential_dspo(stream):
         np.testing.assert_allclose(
             a[key], b[key], atol=5e-3, rtol=5e-3,
             err_msg=f"fused vs sequential mismatch in {key}")
-    # scale/shift/disps pass through the near-degenerate planar alignment
-    # (see module docstring) — percent-level agreement is the honest bound
-    for key in ("scale", "shift", "disps", "disps_up"):
-        np.testing.assert_allclose(
-            a[key], b[key], atol=5e-2, rtol=5e-2,
-            err_msg=f"fused vs sequential mismatch in {key}")
+    np.testing.assert_allclose(a["scale"], b["scale"], atol=1e-2)
+    np.testing.assert_allclose(a["shift"], b["shift"], atol=1e-2)
+    # disps: TIGHT parity at multiview-VALID pixels — the only ones every
+    # downstream consumer (mapping anchors, meshing, depth eval) ever
+    # reads. Multiview-INVALID pixels sit in the ill-conditioned corner of
+    # the stage-2 normal equations (tiny C => huge 1/C gain), where the
+    # two equivalent-but-differently-bucketed XLA programs legitimately
+    # amplify reassociation noise to percent level; both paths agree those
+    # pixels are invalid (checked above), so they are bounded loosely.
+    valid = a["vmask"] & b["vmask"]
+    assert valid.mean() > 0.3  # the tight check must cover real pixels
+    np.testing.assert_allclose(
+        a["disps"][valid], b["disps"][valid], atol=2e-2,
+        err_msg="fused vs sequential mismatch in multiview-valid disps")
+    assert np.max(np.abs(a["disps"] - b["disps"])) < 0.25
+    # disps_up mixes a 3x3 1/8-res neighborhood (convex upsample): erode
+    # the validity mask by one cell before the tight full-res check
+    from scipy import ndimage
+
+    valid_er = np.stack(
+        [ndimage.binary_erosion(f) for f in valid])
+    valid_up = np.kron(valid_er, np.ones((8, 8), bool))
+    np.testing.assert_allclose(
+        a["disps_up"][valid_up], b["disps_up"][valid_up], atol=2e-2,
+        err_msg="fused vs sequential mismatch in valid disps_up")
+    assert np.max(np.abs(a["disps_up"] - b["disps_up"])) < 0.25
 
 
 def test_fused_pose_depth_only(stream):
