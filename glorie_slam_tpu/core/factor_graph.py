@@ -440,7 +440,12 @@ class FactorGraph:
                 int(((self.ii >= i) & (self.ii < i + s)).sum())
                 for i in range(0, int(self.jj.max()) + 1, s)
             ]
-            Ec_cap = bucket(max([c for c in chunk_sizes if c] or [1]))
+            # floor 64: successive dense-BA calls see chunk maxima hovering
+            # around the small bucket edges (24/32/48) as the graph grows —
+            # each crossing would recompile the chunk program. 64 covers the
+            # radius-bounded degree of the global proposal at any scale.
+            Ec_cap = max(bucket(max([c for c in chunk_sizes if c] or [1])),
+                         64)
             for i in range(0, int(self.jj.max()) + 1, s):
                 sel = (self.ii >= i) & (self.ii < i + s)
                 if sel.sum() < 1:
