@@ -20,10 +20,12 @@ from ..utils.buckets import bucket
 
 
 @partial(jax.jit,
-         static_argnames=("update_apply", "num_frames", "with_upmask"))
+         static_argnames=("update_apply", "num_frames", "with_upmask",
+                          "edge_mesh"))
 def _graph_update_step(update_apply, params, poses, disps, intrinsics,
                        feat_pyr, net, inp, target, ii, jj, kk, edge_mask,
-                       coords0, num_frames: int, with_upmask: bool = True):
+                       coords0, num_frames: int, with_upmask: bool = True,
+                       edge_mesh=None):
     """Fused: reproject -> motion features -> corr lookup -> ConvGRU update.
 
     All edge arrays are padded to a bucket size; ``edge_mask`` marks real
@@ -44,7 +46,8 @@ def _graph_update_step(update_apply, params, poses, disps, intrinsics,
     )
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    corr_feat = corr_mod.lookup_pyramid_feats(feat_pyr, ii_s, jj_s, coords1)
+    corr_feat = corr_mod.lookup_pyramid_feats(feat_pyr, ii_s, jj_s, coords1,
+                                              edge_mesh=edge_mesh)
 
     bf = jnp.bfloat16
     net2, delta, weight, eta, upmask = update_apply(

@@ -153,8 +153,9 @@ def prep_feat_pyramid(fmaps, num_levels: int = LEVELS):
     return (flat,) + tuple(pool_feat_levels(fmaps, num_levels))
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS):
+@partial(jax.jit, static_argnames=("radius", "edge_mesh"))
+def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS,
+                         edge_mesh=None):
     """Full multi-level windowed lookup computed straight from FEATURES.
 
     feat_pyr: stores from ``prep_feat_pyramid``; iis/jjs: (E,) source/target
@@ -164,6 +165,13 @@ def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS):
     all-pairs volumes of these frames, without ever building a volume
     (per-edge cost drops from ~27 MB of HBM volume rows to two ~1 MB
     feature planes; see pallas_corr.lookup_feats_pallas).
+
+    ``edge_mesh``: optional ``jax.sharding.Mesh`` with an 'edge' axis. The
+    Pallas kernel is a custom call GSPMD cannot partition, so under a mesh
+    it runs inside ``jax.shard_map`` — each device looks up its edge shard
+    against the REPLICATED frame stores (the per-edge grid makes the edge
+    dim embarrassingly parallel; no collectives needed here). The pure-JAX
+    CPU path needs no wrapping: its einsums partition under GSPMD.
     """
     E, ht, wd, _ = coords.shape
     npix = ht * wd
@@ -185,8 +193,20 @@ def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS):
             else feat_pyr[lvl].reshape(N, hl * wl, C)
             for lvl, (hl, wl) in enumerate(levels)
         )
-        feat = pallas_corr.lookup_feats_pyramid_pallas(
-            f1_store, stores, iis, jjs, c, tuple(levels), radius)[:, :npix]
+
+        def _pyr(f1s, sts, ii_l, jj_l, c_l):
+            return pallas_corr.lookup_feats_pyramid_pallas(
+                f1s, sts, ii_l, jj_l, c_l, tuple(levels), radius)
+
+        if edge_mesh is not None and E % edge_mesh.size == 0:
+            from jax.sharding import PartitionSpec as _P
+            feat = jax.shard_map(
+                _pyr, mesh=edge_mesh,
+                in_specs=(_P(), _P(), _P("edge"), _P("edge"), _P("edge")),
+                out_specs=_P("edge"),
+            )(f1_store, stores, iis, jjs, c)[:, :npix]
+        else:
+            feat = _pyr(f1_store, stores, iis, jjs, c)[:, :npix]
         return feat.reshape(E, ht, wd, -1)
     outs = []
     for lvl, (hl, wl) in enumerate(levels):

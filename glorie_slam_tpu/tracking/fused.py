@@ -42,7 +42,7 @@ from ..utils.buckets import bucket
     static_argnames=(
         "update_apply", "agg_apply", "num_frames", "P_max", "K_pd", "Dmax",
         "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
-        "mono_thres", "lm", "ep", "EP", "beta",
+        "mono_thres", "lm", "ep", "EP", "beta", "edge_mesh",
     ),
 )
 def dspo_rounds(update_apply, agg_apply, params,
@@ -57,7 +57,7 @@ def dspo_rounds(update_apply, agg_apply, params,
                 Dmax: int, K_ds: int, M_cur: int, ba_iters: int = 2,
                 mv_thresh: float = 0.01, visible_num: int = 2,
                 mono_thres: float = 0.0, lm: float = 1e-4, ep: float = 0.1,
-                EP: float = 1e-7, beta: float = 0.3):
+                EP: float = 1e-7, beta: float = 0.3, edge_mesh=None):
     """Run ``len(is_ds_flags)`` fused DSPO rounds; see module docstring.
 
     Active-edge arrays are padded to E_pad (edge_mask marks real edges);
@@ -81,7 +81,7 @@ def dspo_rounds(update_apply, agg_apply, params,
         net2, target2, weight2, eta_agg, _um, _ = _graph_update_step(
             update_apply, params, poses, disps, intrinsics, feat_pyr, net,
             inp, target, ii_act, jj_act, kk, edge_mask, coords0,
-            num_frames=num_frames, with_upmask=False,
+            num_frames=num_frames, with_upmask=False, edge_mesh=edge_mesh,
         )
         weight2 = weight2 * edge_mask[:, None, None, None]
         # kx is padded to num_frames; merge only the valid rows — as a
@@ -240,7 +240,7 @@ def dspo_rounds(update_apply, agg_apply, params,
     static_argnames=(
         "update_apply", "agg_apply", "num_frames", "P_max", "K_pd",
         "Dmax", "K_ds", "M_cur", "ba_iters", "mv_thresh", "visible_num",
-        "mono_thres", "lm", "ep", "EP", "E_pad", "EB", "beta",
+        "mono_thres", "lm", "ep", "EP", "E_pad", "EB", "beta", "edge_mesh",
     ),
 )
 def _dspo_rounds_packed(update_apply, agg_apply, params,
@@ -252,7 +252,7 @@ def _dspo_rounds_packed(update_apply, agg_apply, params,
                         P_max: int, K_pd: int, Dmax: int, K_ds: int,
                         M_cur: int, ba_iters: int, mv_thresh: float,
                         visible_num: int, mono_thres: float, lm: float,
-                        ep: float, EP: float, beta: float):
+                        ep: float, EP: float, beta: float, edge_mesh=None):
     """dspo_rounds with the small per-version arrays packed into ONE int32
     and ONE float32 vector — a single upload each instead of ~10 (the
     per-transfer latency of a remote device transport dominates otherwise).
@@ -300,8 +300,67 @@ def _dspo_rounds_packed(update_apply, agg_apply, params,
         num_frames=num_frames, P_max=P_max, K_pd=K_pd, Dmax=Dmax,
         K_ds=K_ds, M_cur=M_cur, ba_iters=ba_iters, mv_thresh=mv_thresh,
         visible_num=visible_num, mono_thres=mono_thres, lm=lm, ep=ep, EP=EP,
-        beta=beta,
+        beta=beta, edge_mesh=edge_mesh,
     )
+
+
+_MESH_CACHE = {}
+
+
+def _active_mesh(video):
+    """Mesh from ``tracking.mesh_devices`` config (None = single device).
+
+    The SAME mesh object must be returned for a given device count: it is a
+    static jit argument, and ``jax.sharding.Mesh`` equality is identity-ish
+    across distinct device tuples, so a fresh Mesh per call would recompile.
+    """
+    n = int(video.cfg.get("tracking", {}).get("mesh_devices", 0) or 0)
+    if n <= 1:
+        return None
+    if n not in _MESH_CACHE:
+        if len(jax.devices()) < n:
+            raise ValueError(
+                f"tracking.mesh_devices={n} but only {len(jax.devices())} "
+                f"devices visible")
+        from ..parallel import mesh as mesh_mod
+        _MESH_CACHE[n] = mesh_mod.make_mesh(n)
+    return _MESH_CACHE[n]
+
+
+def _mesh_place(mesh, st, graph, v):
+    """Pin the fused program's inputs to the mesh: per-edge arrays sharded
+    on 'edge', SLAM state + feature stores + params replicated. device_put
+    is a no-op for arrays already laid out correctly, so calling this every
+    dispatch only moves what changed (scaling-book recipe: annotate inputs,
+    let GSPMD insert the collectives — the GraphAgg segment means, Hessian
+    one-hot assembly and damping merges all become partial-sum + psum)."""
+    from ..parallel import mesh as mesh_mod
+    es = mesh_mod.edge_sharding(mesh)
+    rep = mesh_mod.replicated(mesh)
+    for k in ("net", "inp", "target"):
+        st[k] = jax.device_put(st[k], es)
+    # inactive blocks can be empty or non-divisible; they are bandwidth-
+    # light (BA-only), so replicate them
+    for k in ("tgt_in", "wgt_in"):
+        st[k] = jax.device_put(st[k], rep)
+    for k in ("ints", "floats"):
+        st[k] = jax.device_put(st[k], rep)
+    graph.damping = jax.device_put(graph.damping, rep)
+    graph.coords0 = jax.device_put(graph.coords0, rep)
+    # capacity buffers too: the post-round write-back (_set_active_rows)
+    # mixes them with mesh outputs in one jit — all operands must live on
+    # the same device set
+    for k in ("net", "inp", "target", "weight", "target_inac",
+              "weight_inac"):
+        if hasattr(graph, k):
+            setattr(graph, k, jax.device_put(getattr(graph, k), rep))
+    graph.params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep), graph.params)
+    for k in ("corr_flat", "corr_p1", "corr_p2", "corr_p3",
+              "poses", "disps", "disps_up", "intrinsics", "zeros",
+              "mono_disps", "depth_scale", "depth_shift",
+              "valid_depth_mask_small"):
+        setattr(v, k, jax.device_put(getattr(v, k), rep))
 
 
 def _stable_caps(graph):
@@ -475,6 +534,10 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     mv = v.cfg["tracking"]["multiview_filter"]
     mono_thres = v.mono_thres if v.mono_thres else 0.0
 
+    mesh = _active_mesh(v)
+    if mesh is not None:
+        _mesh_place(mesh, st, graph, v)
+
     out = _dspo_rounds_packed(
         graph.update_apply, graph.agg_apply, graph.params,
         v.poses, v.disps, v.disps_up, v.intrinsics, v.zeros, v.mono_disps,
@@ -489,6 +552,7 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
         mv_thresh=float(mv["thresh"]), visible_num=int(mv["visible_num"]),
         mono_thres=float(mono_thres), lm=float(lm), ep=float(ep), EP=EP,
         beta=float(v.cfg["tracking"].get("beta", 0.3)),
+        edge_mesh=mesh,
     )
     (poses, disps, disps_up, net2, target2, weight2, damping, dsc, dsh,
      vm, kf_dist) = out
