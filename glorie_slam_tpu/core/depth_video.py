@@ -78,6 +78,12 @@ class DepthVideo:
         # host-side bookkeeping (reference: shared bool tensors + mp.Value)
         self.dirty = np.zeros(buf, bool)
         self.npc_dirty = np.zeros(buf, bool)
+        # guards depth_scale/depth_shift rebinds: the async mapper thread
+        # row-writes them (mapping/async_worker.py) while tracking rebinds
+        # whole arrays — the only cross-thread write-write pair in the
+        # design (reference shares them via shared CUDA tensors)
+        import threading
+        self.state_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # appends / accessors
@@ -111,6 +117,38 @@ class DepthVideo:
         if inp is not None:
             self.inps = self.inps.at[ix].set(inp.astype(jnp.bfloat16))
 
+    def append_admitted(self, timestamp, image_f, mono_depth, gmap,
+                        tracker_net, intrinsics=None):
+        """Hot-path keyframe admission as ONE fused jit dispatch.
+
+        ``append`` runs ~20 eager device ops (each a full round trip on the
+        remote-device transport, ~70 ms total measured); the steady-state
+        admit path — cnet context encode, uint8 image conversion, mono-prior
+        subsample, feature/corr-store scatters — is instead a single donated
+        program here. Returns (net, inp) for the motion filter's next probe.
+
+        image_f: (H, W, 3) float in [0, 1]; mono_depth: (H, W) or None;
+        gmap: (1, h8, w8, 128) fmap from the probe program.
+        """
+        if intrinsics is not None and not getattr(self, "_intr_set", False):
+            self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
+            self._intr_set = True
+        ix = self.counter
+        self.counter += 1
+        if mono_depth is None:
+            mono_depth = np.zeros((self.ht, self.wd), np.float32)
+        (self.timestamp, self.images, self.mono_disps, self.fmaps,
+         self.nets, self.inps, self.corr_flat, self.corr_p1, self.corr_p2,
+         self.corr_p3, net, inp) = _admit_fused(
+            tracker_net.context_apply, tracker_net.params,
+            self.timestamp, self.images, self.mono_disps, self.fmaps,
+            self.nets, self.inps, self.corr_flat, self.corr_p1,
+            self.corr_p2, self.corr_p3,
+            jnp.int32(ix), jnp.float32(timestamp), image_f,
+            jnp.asarray(mono_depth, jnp.float32), gmap,
+            down_scale=self.down_scale)
+        return net, inp
+
     def _update_corr_stores(self, ix):
         """Refresh frame ix's rows of the lookup stores from fmaps[ix]."""
         f = self.fmaps[ix][None]                       # (1, h8, w8, 128)
@@ -131,6 +169,13 @@ class DepthVideo:
     def set_disp(self, ix, disp):
         self.disps = self.disps.at[ix].set(disp)
 
+    def set_depth_scale_shift(self, ix, s, q):
+        """Thread-safe per-frame scale/shift write (mapper thread; the
+        reference mapper writes the shared tensors directly, mapper.py:275)."""
+        with self.state_lock:
+            self.depth_scale = self.depth_scale.at[ix].set(s)
+            self.depth_shift = self.depth_shift.at[ix].set(q)
+
     def set_dirty(self, start, end):
         self.dirty[start:end] = True
         self.npc_dirty[start:end] = True
@@ -141,10 +186,12 @@ class DepthVideo:
         def shift(arr):
             return arr.at[ix].set(arr[ix + 1])
 
-        for name in ("timestamp", "poses", "disps", "disps_up", "mono_disps",
-                     "depth_scale", "depth_shift", "fmaps", "nets", "inps",
-                     "corr_flat", "corr_p1", "corr_p2", "corr_p3"):
-            setattr(self, name, shift(getattr(self, name)))
+        with self.state_lock:
+            for name in ("timestamp", "poses", "disps", "disps_up",
+                         "mono_disps", "depth_scale", "depth_shift", "fmaps",
+                         "nets", "inps", "corr_flat", "corr_p1", "corr_p2",
+                         "corr_p3"):
+                setattr(self, name, shift(getattr(self, name)))
         self.images = shift(self.images)
         self._valid_depth_mask = shift(self._valid_depth_mask)
         self.valid_depth_mask_small = shift(self.valid_depth_mask_small)
@@ -177,6 +224,15 @@ class DepthVideo:
         Edge lists are bucket-padded so jit shapes stay bounded; large
         (proximity-grid) queries pad to powers of two so the growing
         t x t grid crosses only ~log2 distinct shapes over a run."""
+        d, E = self.distance_async(ii, jj, beta, bidirectional)
+        return np.asarray(d)[:E]
+
+    def distance_async(self, ii, jj, beta=0.3, bidirectional=True):
+        """Non-blocking ``distance``: dispatch the program and start the
+        device->host copy, returning (device_array, E). Consume later with
+        ``np.asarray(dev)[:E]`` — by then the transfer is usually done, so
+        the ~25 ms blocking round trip of the remote transport is hidden
+        behind whatever host work runs in between."""
         ii = np.asarray(ii).reshape(-1)
         jj = np.asarray(jj).reshape(-1)
         E = len(ii)
@@ -199,7 +255,11 @@ class DepthVideo:
             d = dist_mod.frame_distance(
                 self.poses, self.disps, self.intrinsics, ii_p, jj_p, beta
             )
-        return np.asarray(d)[:E]
+        try:
+            d.copy_to_host_async()
+        except AttributeError:
+            pass
+        return d, E
 
     def distance_matrix(self, beta=0.3):
         """All-pairs (counter x counter) bidirectional distance matrix."""
@@ -372,8 +432,9 @@ class DepthVideo:
             # pad rows are CLAMPED duplicates of row curr-1, and scale_t
             # is row-wise deterministic, so duplicate indices carry
             # identical values — the scatter is well-defined
-            self.depth_scale = self.depth_scale.at[idx].set(scale_t)
-            self.depth_shift = self.depth_shift.at[idx].set(shift_t)
+            with self.state_lock:
+                self.depth_scale = self.depth_scale.at[idx].set(scale_t)
+                self.depth_shift = self.depth_shift.at[idx].set(shift_t)
 
             ii_t, jj_t, target_t, weight_t = ii, jj, target, weight
             if self.mono_thres:
@@ -417,15 +478,15 @@ class DepthVideo:
             K = bucket(max(int(ii_t.max()) + 1 - kbase, 1))
             K = min(K, self.buffer)
             kbase = min(kbase, self.buffer - K)
-            self.disps, self.depth_scale, self.depth_shift = (
-                ba_mod.ba_scale_shift(
-                    self.poses, self.disps, self.intrinsics, target_t,
-                    weight_t, eta_full, self.mono_disps, self.depth_scale,
-                    self.depth_shift, self.valid_depth_mask_small,
-                    jnp.asarray(ii_p), jnp.asarray(jj_p), None, kbase,
-                    K_max=K, iters=iters, lm=lm, ep=ep, alpha=0.01,
-                )
+            out = ba_mod.ba_scale_shift(
+                self.poses, self.disps, self.intrinsics, target_t,
+                weight_t, eta_full, self.mono_disps, self.depth_scale,
+                self.depth_shift, self.valid_depth_mask_small,
+                jnp.asarray(ii_p), jnp.asarray(jj_p), None, kbase,
+                K_max=K, iters=iters, lm=lm, ep=ep, alpha=0.01,
             )
+            with self.state_lock:
+                self.disps, self.depth_scale, self.depth_shift = out
             self.disps = jnp.maximum(self.disps, 1e-5)
             return True
         else:
@@ -518,6 +579,40 @@ class DepthVideo:
             path, poses=poses, depths=depths, timestamps=timestamps,
             valid_depth_masks=masks,
         )
+
+
+@partial(jax.jit, static_argnames=("context_apply", "down_scale"),
+         donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+def _admit_fused(context_apply, params, timestamp, images, mono_disps,
+                 fmaps, nets, inps, corr_flat, corr_p1, corr_p2, corr_p3,
+                 ix, ts, image_f, mono_depth, gmap, down_scale=8):
+    """Fused keyframe-admit: cnet encode + every append scatter, one program.
+
+    Buffers are donated, so XLA updates them in place (reference
+    depth_video.py:61-120 writes shared CUDA tensors; this is the
+    functional equivalent with input/output aliasing)."""
+    from ..nets import droid_net
+    from ..ops import corr as corr_mod
+
+    inputs = droid_net.normalize_images(image_f[None])
+    net, inp = context_apply(params, inputs)
+    timestamp = timestamp.at[ix].set(ts)
+    images = images.at[ix].set(
+        jnp.clip(image_f * 255.0, 0, 255).astype(jnp.uint8))
+    s = down_scale
+    md = mono_depth[s // 2 - 1::s, s // 2 - 1::s]
+    mono_disps = mono_disps.at[ix].set(jnp.where(md > 0, 1.0 / md, 0.0))
+    fm = gmap[0].astype(jnp.bfloat16)
+    fmaps = fmaps.at[ix].set(fm)
+    flat, p1, p2, p3 = corr_mod.prep_feat_pyramid(fm[None])
+    corr_flat = corr_flat.at[ix].set(flat[0])
+    corr_p1 = corr_p1.at[ix].set(p1[0])
+    corr_p2 = corr_p2.at[ix].set(p2[0])
+    corr_p3 = corr_p3.at[ix].set(p3[0])
+    nets = nets.at[ix].set(net[0].astype(jnp.bfloat16))
+    inps = inps.at[ix].set(inp[0].astype(jnp.bfloat16))
+    return (timestamp, images, mono_disps, fmaps, nets, inps,
+            corr_flat, corr_p1, corr_p2, corr_p3, net, inp)
 
 
 @jax.jit

@@ -81,6 +81,44 @@ def _rows_write(arr, dst, vals, valid):
     return arr.at[dst].add(delta)
 
 
+@jax.jit
+def _add_rows_fused(nets, inps, poses, disps, intrinsics,
+                    net_buf, inp_buf, target_buf, weight_buf,
+                    ii_d, jj_d, dst_d, valid):
+    """Device part of ``add_factors`` as ONE dispatch: gather the new
+    edges' net/inp rows from the video, reproject their initial targets,
+    and merge all four capacity buffers (each eager step costs a full
+    round trip on the remote-device transport; ~8 dispatches -> 1)."""
+    net = nets[ii_d]
+    inp = inps[ii_d]
+    target, _ = projective.projective_transform(
+        poses, disps, intrinsics, ii_d, jj_d)
+    net_buf = _rows_write(net_buf, dst_d, net, valid)
+    inp_buf = _rows_write(inp_buf, dst_d, inp, valid)
+    target_buf = _rows_write(target_buf, dst_d, target, valid)
+    weight_buf = _rows_write(
+        weight_buf, dst_d, jnp.zeros_like(target), valid)
+    return net_buf, inp_buf, target_buf, weight_buf
+
+
+@jax.jit
+def _rm_rows_fused(target_inac, weight_inac, net, inp, target, weight,
+                   src_d, dst_d, valid, perm_d):
+    """Device part of ``rm_factors(store=True)`` as ONE dispatch: copy the
+    dropped edges' target/weight rows into the inactive pool, then compact
+    the four active capacity buffers with the keep-permutation."""
+    target_inac = _rows_write(target_inac, dst_d, target[src_d], valid)
+    weight_inac = _rows_write(weight_inac, dst_d, weight[src_d], valid)
+    return (target_inac, weight_inac,
+            net[perm_d], inp[perm_d], target[perm_d], weight[perm_d])
+
+
+@jax.jit
+def _perm_rows_fused(net, inp, target, weight, perm_d):
+    """Device part of ``rm_factors(store=False)``: one fused compaction."""
+    return net[perm_d], inp[perm_d], target[perm_d], weight[perm_d]
+
+
 class FactorGraph:
     def __init__(self, video, update_apply: Callable, params,
                  corr_impl: str = "volume", max_factors: int = -1,
@@ -211,9 +249,6 @@ class FactorGraph:
         jj_p = np.concatenate([jj, np.zeros(kpad - k, np.int64)])
         ii_d = jnp.asarray(ii_p, jnp.int32)
         jj_d = jnp.asarray(jj_p, jnp.int32)
-        net = v.nets[ii_d].astype(jnp.bfloat16)
-        inp = v.inps[ii_d].astype(jnp.bfloat16)
-        target, _ = v.reproject(ii_d, jj_d)
 
         E_old = len(self.ii)
         self._grow_active(E_old + k)
@@ -225,11 +260,10 @@ class FactorGraph:
         dst_d = jnp.asarray(dst, jnp.int32)
         valid = jnp.asarray(
             (np.arange(kpad) < k).astype(np.float32))
-        self.net = _rows_write(self.net, dst_d, net, valid)
-        self.inp = _rows_write(self.inp, dst_d, inp, valid)
-        self.target = _rows_write(self.target, dst_d, target, valid)
-        self.weight = _rows_write(
-            self.weight, dst_d, jnp.zeros_like(target), valid)
+        self.net, self.inp, self.target, self.weight = _add_rows_fused(
+            v.nets, v.inps, v.poses, v.disps, v.intrinsics,
+            self.net, self.inp, self.target, self.weight,
+            ii_d, jj_d, dst_d, valid)
         self.E = len(self.ii)
 
     def rm_factors(self, mask, store=False):
@@ -239,6 +273,12 @@ class FactorGraph:
         mask = np.asarray(mask, bool)
         if mask.sum() == 0:
             return
+        keep = ~mask
+        keep_idx = np.where(keep)[0]
+        # fixed-shape compaction: gather a full-capacity permutation
+        perm = np.concatenate(
+            [keep_idx, np.zeros(self.cap - len(keep_idx))])
+        perm_d = jnp.asarray(perm, jnp.int32)
         if store:
             st_idx = np.where(mask)[0]
             ks = len(st_idx)
@@ -253,23 +293,16 @@ class FactorGraph:
                 [EI_old + np.arange(ks), np.zeros(kpad - ks)])
             dst_d = jnp.asarray(dst, jnp.int32)
             valid = jnp.asarray((np.arange(kpad) < ks).astype(np.float32))
-            self.target_inac = _rows_write(
-                self.target_inac, dst_d, self.target[src_d], valid)
-            self.weight_inac = _rows_write(
-                self.weight_inac, dst_d, self.weight[src_d], valid)
-        keep = ~mask
-        keep_idx = np.where(keep)[0]
+            (self.target_inac, self.weight_inac, self.net, self.inp,
+             self.target, self.weight) = _rm_rows_fused(
+                self.target_inac, self.weight_inac, self.net, self.inp,
+                self.target, self.weight, src_d, dst_d, valid, perm_d)
+        else:
+            self.net, self.inp, self.target, self.weight = _perm_rows_fused(
+                self.net, self.inp, self.target, self.weight, perm_d)
         self.ii, self.jj, self.age = (
             self.ii[keep], self.jj[keep], self.age[keep]
         )
-        # fixed-shape compaction: gather a full-capacity permutation
-        perm = np.concatenate(
-            [keep_idx, np.zeros(self.cap - len(keep_idx))])
-        perm_d = jnp.asarray(perm, jnp.int32)
-        self.net = self.net[perm_d]
-        self.inp = self.inp[perm_d]
-        self.target = self.target[perm_d]
-        self.weight = self.weight[perm_d]
         self.E = len(self.ii)
 
     def rm_keyframe(self, ix):
@@ -522,12 +555,32 @@ class FactorGraph:
         keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
         self.add_factors(ii[keep], jj[keep])
 
+    def dispatch_proximity_distance(self, t0, t1, beta):
+        """Dispatch the frontend proposal's distance grid WITHOUT blocking.
+
+        Distances depend only on video poses/disps (not on graph edges), so
+        the caller can fire this before host-side edge bookkeeping
+        (rm_factors) and pass the handle to ``add_proximity_factors`` —
+        hiding the remote transport's readback round trip behind that work.
+        """
+        t = self.video.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if len(ix) == 0 or len(jx) == 0:
+            return None
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        dev, E = self.video.distance_async(ii, jj, beta=beta)
+        return (t0, t1, beta, dev, E)
+
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
-                              thresh=16.0, remove=False):
+                              thresh=16.0, remove=False, d_pre=None):
         """Distance-sorted greedy proposal with NMS (factor_graph.py:323-383).
 
         The greedy NMS sweep runs in the native C++ extension when available
-        (glorie_slam_tpu/native), falling back to the Python loops."""
+        (glorie_slam_tpu/native), falling back to the Python loops.
+        ``d_pre``: handle from ``dispatch_proximity_distance`` (same
+        t0/t1/beta) to consume instead of a fresh blocking dispatch."""
         t = self.video.counter
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
@@ -535,7 +588,11 @@ class FactorGraph:
             return
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
-        d = self.video.distance(ii, jj, beta=beta).copy()
+        if d_pre is not None and d_pre[:3] == (t0, t1, beta) \
+                and d_pre[4] == len(ii):
+            d = np.asarray(d_pre[3])[:d_pre[4]].copy()
+        else:
+            d = self.video.distance(ii, jj, beta=beta).copy()
 
         from .. import native
 
@@ -594,9 +651,28 @@ class FactorGraph:
             es = np.asarray(es, np.int64)
             self.add_factors(es[:, 0], es[:, 1], remove)
 
+    def dispatch_backend_proximity_distance(self, t_start, t_end,
+                                            t_start_loop, beta):
+        """Non-blocking dispatch of the backend proposal's distance grid.
+
+        The frontend fires this right after the fused-rounds dispatch (the
+        program reads the rounds' OUTPUT pose/disp arrays, so it queues
+        behind them with identical semantics) and hands the handle to
+        loop_ba — hiding the proposal's device time and readback behind the
+        rounds' own sync."""
+        ix = np.arange(t_start_loop, t_end)
+        jx = np.arange(t_start, t_end)
+        if len(ix) == 0 or len(jx) == 0:
+            return None
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        dev, E = self.video.distance_async(
+            ii.reshape(-1), jj.reshape(-1), beta=beta)
+        return (t_start, t_end, t_start_loop, beta, dev, E)
+
     def add_backend_proximity_factors(self, t_start, t_end, nms, radius,
                                       thresh, max_factors, beta,
-                                      t_start_loop=None, loop=False):
+                                      t_start_loop=None, loop=False,
+                                      d_pre=None):
         """Backend edge proposal incl. loop edges (factor_graph.py:386-462)."""
         if t_start_loop is None or not loop:
             t_start_loop = t_start
@@ -607,7 +683,12 @@ class FactorGraph:
         jx = np.arange(t_start, t_end)
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
-        d = self.video.distance(ii, jj, beta=beta).copy()
+        if d_pre is not None \
+                and d_pre[:4] == (t_start, t_end, t_start_loop, beta) \
+                and d_pre[5] == len(ii):
+            d = np.asarray(d_pre[4])[:d_pre[5]].copy()
+        else:
+            d = self.video.distance(ii, jj, beta=beta).copy()
         rawd = d.copy().reshape(ilen, jlen)
 
         from .. import native

@@ -280,8 +280,7 @@ class Mapper:
         s, q = float(scale[0]), float(shift[0])
         if not np.isfinite(s):
             s, q = 1.0, 0.0
-        self.video.depth_scale = self.video.depth_scale.at[video_idx].set(s)
-        self.video.depth_shift = self.video.depth_shift.at[video_idx].set(q)
+        self.video.set_depth_scale_shift(video_idx, s, q)
         mono_wq = jnp.asarray(mono_depth * s + q, jnp.float32)
         return jnp.asarray(c2w), mono_wq, jnp.asarray(est_depth, jnp.float32)
 

@@ -59,6 +59,13 @@ class TrackerNet:
         # (tracking/motion_filter._encode_and_flow)
         self.features_apply = _features_apply
 
+        def _context_apply(p, x):
+            return model.apply(p, x.astype(dtype), method=model.context)
+
+        # un-jitted twin of _context for the fused keyframe-admit program
+        # (core/depth_video._admit_fused)
+        self.context_apply = _context_apply
+
     @classmethod
     def from_checkpoint(cls, path: str, dtype: Any = jnp.bfloat16):
         """Load droid.pth (reference slam.py:70-81 incl. head slicing)."""

@@ -276,7 +276,8 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
     ``dims`` is ((h0,w0),...,(h3,w3)); out channel layout is level-major
     [lvl*rd*rd + a*rd + b] matching lookup_pyramid's concatenation.
     """
-    f1 = f1_ref[0]                              # (PLANE, C) bf16
+    f1 = f1_ref[0]                              # (tile, C) bf16
+    tile = f1.shape[0]
     f2_refs = (f20_ref, f21_ref, f22_ref, f23_ref)
 
     for lvl, (hl, wl) in enumerate(dims):
@@ -294,7 +295,7 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
                 rows, f1, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return p.reshape(nrows, wl, PLANE) * scale
+            return p.reshape(nrows, wl, tile) * scale
 
         if band is not None and band < hl and wl % 8 == 0:
             y_min = jnp.min(y)
@@ -316,16 +317,18 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
         else:
             vals = _window_pass(corr_rows(0, hl), x, y, hl, wl, rd)
 
+        vals = vals.astype(out_ref.dtype)
         for s in range(rd * rd):
             out_ref[0, lvl * rd * rd + s, :] = vals[s]
 
 
 @partial(jax.jit,
-         static_argnames=("dims", "radius", "interpret", "band", "scale"))
+         static_argnames=("dims", "radius", "interpret", "band", "scale",
+                          "tile"))
 def lookup_feats_pyramid_pallas(f1_store, f2_stores, iis, jjs, coords,
                                 dims, radius: int = RADIUS,
                                 interpret: bool = False, band: int = BAND,
-                                scale: float = 1.0 / 16.0):
+                                scale: float = 1.0 / 16.0, tile: int = 0):
     """4-level windowed correlation lookup from feature stores in ONE
     pallas_call (vs 4 calls: the f1 tile, coords transpose, and grid are
     shared; measured ~2x on the per-round lookup).
@@ -334,36 +337,49 @@ def lookup_feats_pyramid_pallas(f1_store, f2_stores, iis, jjs, coords,
     (N, hl*wl, C) (element 0 may BE f1_store); iis/jjs: (E,) frame
     indices; coords: (E, npix_pad, 2) LEVEL-0 coords; dims: static
     ((h0,w0),..,(h3,w3)). Returns (E, npix_pad, 4*rd^2) f32 level-major.
+
+    ``tile``: pixels per grid step (0 = auto: widest of 512/256/128 that
+    divides npix_pad). Wider tiles amortize the per-step Mosaic overhead
+    (grid steps = E * npix/tile) and feed the stage-0 MXU matmul a larger
+    rhs; the band still covers the tile's raster span since consecutive
+    pixels share rows (512 px <= 7 rows + the 7-tap hat < band + slack).
     """
     N, npix_pad, C = f1_store.shape
     E = iis.shape[0]
     rd = 2 * radius + 1
     if npix_pad % PLANE != 0:
         raise ValueError(f"npix={npix_pad} must be a multiple of {PLANE}")
+    if tile == 0:
+        tile = next(t for t in (512, 256, PLANE) if npix_pad % t == 0)
+    if npix_pad % tile != 0:
+        raise ValueError(f"tile={tile} must divide npix_pad={npix_pad}")
 
     cc = jnp.nan_to_num(coords).transpose(0, 2, 1)
-    n_tiles = npix_pad // PLANE
+    n_tiles = npix_pad // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(E, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 2, PLANE), lambda e, t, iis, jjs: (e, 0, t)),
-            pl.BlockSpec((1, PLANE, C),
+            pl.BlockSpec((1, 2, tile), lambda e, t, iis, jjs: (e, 0, t)),
+            pl.BlockSpec((1, tile, C),
                          lambda e, t, iis, jjs: (iis[e], t, 0)),
         ] + [
             pl.BlockSpec((1, h * w, C),
                          lambda e, t, iis, jjs: (jjs[e], 0, 0))
             for (h, w) in dims
         ],
-        out_specs=pl.BlockSpec((1, 4 * rd * rd, PLANE),
+        out_specs=pl.BlockSpec((1, 4 * rd * rd, tile),
                                lambda e, t, iis, jjs: (e, 0, t)),
     )
+    # bf16 output: every consumer (the ConvGRU corr encoder) casts to bf16
+    # anyway, and the (E, 4*rd^2, npix) materialization + transpose is the
+    # kernel's HBM floor — halving it measured ~4 ms off the fused lookup
     out = pl.pallas_call(
         partial(_lookup_feats_pyr_kernel, dims=dims, rd=rd, band=band,
                 scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((E, 4 * rd * rd, npix_pad),
-                                       jnp.float32),
+                                       jnp.bfloat16),
         interpret=interpret,
     )(iis.astype(jnp.int32), jjs.astype(jnp.int32), cc,
       f1_store.astype(jnp.bfloat16),

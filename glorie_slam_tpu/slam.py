@@ -100,10 +100,27 @@ class SLAM:
         from .utils.phase_timer import PhaseTimer
 
         self.timer = PhaseTimer()
+        # tracker ∥ mapper overlap: mapping runs on a host worker thread
+        # against a consistent snapshot taken at each keyframe handshake
+        # (mapping/async_worker.py); the reference's process split is
+        # lock-step at the pipe (tracker.py:68-70), so this strictly
+        # shortens the tracking critical path. `mapping.async_mapping:
+        # false` restores the synchronous call for determinism.
+        self.async_mapper = None
+        on_kf = None
+        if self.mapper is not None:
+            if cfg.get("mapping", {}).get("async_mapping", True):
+                from .mapping.async_worker import AsyncMapper
+
+                self.async_mapper = AsyncMapper(
+                    self.mapper, self.video, printer=self.printer)
+                on_kf = self.async_mapper.on_keyframe
+            else:
+                on_kf = self.mapper.on_keyframe
         self.tracker = Tracker(
             self.tracker_net, self.video, cfg, printer=self.printer,
             mono_predictor=self._make_mono_predictor(cfg),
-            on_keyframe=(self.mapper.on_keyframe if self.mapper else None),
+            on_keyframe=on_kf,
             timer=self.timer,
         )
 
@@ -151,6 +168,11 @@ class SLAM:
         (reference slam.py:129-187)."""
         cfg = self.cfg
         timer = self.timer
+        if self.async_mapper is not None:
+            # normally already joined by the tracker's end handshake;
+            # defensive for partial runs so final refine sees a quiescent
+            # mapper
+            self.async_mapper.join()
         if cfg["tracking"]["backend"].get("final_ba", True):
             with timer.phase("final_ba"):
                 self.final_ba()

@@ -5,11 +5,21 @@ per-keyframe update, cull-on-low-distance, loop-closure trigger) is host
 logic; all heavy math goes through FactorGraph.update / DepthVideo.ba.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.factor_graph import FactorGraph
 from .backend import Backend
 from .fused import graph_update_rounds
+
+
+@jax.jit
+def _seed_next(poses, disps, t1):
+    """Seed slot t1 from t1-1 (one dispatch; reference frontend.py:81-82)."""
+    poses = poses.at[t1].set(poses[t1 - 1])
+    disps = disps.at[t1].set(disps[t1 - 1].mean())
+    return poses, disps
 
 
 class Frontend:
@@ -45,6 +55,12 @@ class Frontend:
     def _update(self):
         """Per-keyframe local BA (reference frontend.py:40-86)."""
         self.t1 += 1
+        # dispatch the proposal's distance grid FIRST (it reads only
+        # poses/disps, which are final here) so the device computes + copies
+        # it back while the host does the edge bookkeeping below
+        d_prox = self.graph.dispatch_proximity_distance(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0), self.beta)
+
         if len(self.graph.ii) > 0:
             self.graph.rm_factors(self.graph.age > self.max_age, store=True)
 
@@ -52,6 +68,7 @@ class Frontend:
             self.t1 - 5, max(self.t1 - self.frontend_window, 0),
             rad=self.frontend_radius, nms=self.frontend_nms,
             thresh=self.frontend_thresh, beta=self.beta, remove=True,
+            d_pre=d_prox,
         )
 
         # all iters1 DSPO rounds (pose_depth/depth_scale alternation) run as
@@ -59,6 +76,17 @@ class Frontend:
         # the keyframe-distance check d(t1-2, t1-1) is computed inside it
         # (one scalar readback instead of a second dispatch round trip)
         d = graph_update_rounds(self.graph, self.iters1, use_inactive=True)
+        cur_t = self.video.counter
+        d_loop = None
+        if (d is not None and self.enable_loop
+                and cur_t > self.frontend_window):
+            # speculative dispatch of loop_ba's proposal distances: the
+            # program reads the rounds' OUTPUT poses/disps, so it queues
+            # behind them on the device and its result + host copy are
+            # ready by the time the rounds' own readback (float(d))
+            # returns. Discarded (wasted work only) on the rare cull.
+            d_loop = self.loop_closing.dispatch_proposal_distance(
+                0, cur_t, self.graph)
         if d is None:   # empty graph: fall back to the direct distance op
             d = self.video.distance(
                 [self.t1 - 2], [self.t1 - 1], beta=self.beta,
@@ -69,12 +97,12 @@ class Frontend:
             self.video.counter -= 1
             self.t1 -= 1
         else:
-            cur_t = self.video.counter
             ran_loop = False
             if self.enable_loop and cur_t > self.frontend_window:
                 n_kf, n_edge = self.loop_closing.loop_ba(
                     t_start=0, t_end=cur_t, steps=self.iters2,
                     motion_only=False, local_graph=self.graph, enable_wq=True,
+                    d_pre=d_loop,
                 )
                 ran_loop = n_edge > 0
                 self.last_loop_t = cur_t
@@ -87,8 +115,8 @@ class Frontend:
         # (there is no next slot to seed)
         v = self.video
         if self.t1 < v.buffer:
-            v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
-            v.disps = v.disps.at[self.t1].set(v.disps[self.t1 - 1].mean())
+            v.poses, v.disps = _seed_next(v.poses, v.disps,
+                                          jnp.int32(self.t1))
         v.set_dirty(int(self.graph.ii.min()), self.t1)
 
     def _initialize(self):

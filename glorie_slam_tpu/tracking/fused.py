@@ -560,8 +560,9 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     v.poses = poses
     v.disps = disps
     v.disps_up = disps_up
-    v.depth_scale = dsc
-    v.depth_shift = dsh
+    with v.state_lock:
+        v.depth_scale = dsc
+        v.depth_shift = dsh
     v.valid_depth_mask_small = vm
     graph.damping = damping
     # keep BOTH the graph's capacity buffers (external surface) and the
@@ -569,4 +570,10 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     st["net"], st["target"] = net2, target2
     graph._set_active_rows(net2, target2, weight2, st["E_pad"])
     graph.age += rounds
+    try:
+        # start the keyframe-distance scalar's device->host copy now; the
+        # frontend reads it (float()) after dispatching follow-up work
+        kf_dist.copy_to_host_async()
+    except AttributeError:
+        pass
     return kf_dist

@@ -97,6 +97,13 @@ class MotionFilter:
             self.tn.features_apply, self.tn.update_apply,
             self.tn.params, image, self.fmap, self.net, self.inp,
         )
+        try:
+            # start the device->host transfer of the flow-norm scalar now:
+            # by the time ``track`` reads it the copy is already in flight,
+            # saving the ~25 ms blocking round trip on the remote transport
+            out[1].copy_to_host_async()
+        except AttributeError:
+            pass
         self._pending = (tstamp, out)
 
     def track(self, tstamp, image, intrinsics):
@@ -124,21 +131,24 @@ class MotionFilter:
             cadence_mono = self.mono_predictor(tstamp, image)
 
         def admit():
-            net, inp = self.tn.context(
-                droid_net.normalize_images(image[None]))
-            self.fmap, self.net, self.inp = gmap, net, inp
             mono = (cadence_mono if cadence_mono is not None
                     else self._mono_depth(tstamp, image))
-            first = self.video.counter == 0
-            self.video.append(
-                tstamp,
-                jnp.clip(image * 255.0, 0, 255).astype(jnp.uint8),
-                lie.ID if first else None,
-                1.0 if first else None,
-                mono,
-                np.asarray(intrinsics, np.float32) / self.video.down_scale,
-                gmap[0], net[0], inp[0],
-            )
+            intr8 = np.asarray(intrinsics, np.float32) / self.video.down_scale
+            if self.video.counter == 0:
+                net, inp = self.tn.context(
+                    droid_net.normalize_images(image[None]))
+                self.video.append(
+                    tstamp,
+                    jnp.clip(image * 255.0, 0, 255).astype(jnp.uint8),
+                    lie.ID, 1.0, mono, intr8, gmap[0], net[0], inp[0],
+                )
+            else:
+                # steady-state admission: ONE fused dispatch (cnet + every
+                # append scatter) instead of ~20 eager device ops
+                net, inp = self.video.append_admitted(
+                    tstamp, jnp.asarray(image), mono, gmap, self.tn,
+                    intrinsics=intr8)
+            self.fmap, self.net, self.inp = gmap, net, inp
 
         if self.video.counter == 0:
             admit()

@@ -1,0 +1,136 @@
+"""Tracker ∥ mapper overlap: snapshot-at-handshake consistency.
+
+VERDICT r2 #4: mapping moves to a host worker thread; the mapper must read
+a poses/disps/mask view that is byte-identical to what the synchronous
+schedule would have shown at the handshake instant, even though the tracker
+keeps mutating the live video while the job runs (reference process split:
+slam.py:191-195, lock-step pipe tracker.py:68-70).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from glorie_slam_tpu.core.depth_video import DepthVideo
+from glorie_slam_tpu.mapping.async_worker import AsyncMapper, VideoSnapshot
+
+from synthetic import SyntheticStream, base_cfg
+
+
+def _capture(view, video_idx):
+    """The read surface Mapper.on_keyframe consumes, as numpy."""
+    est_depth, mask, c2w = view.get_depth_and_pose(video_idx)
+    return {
+        "t": view.counter,
+        "poses": np.asarray(view.poses[: view.counter]).copy(),
+        "est_depth": est_depth.copy(),
+        "mask": mask.copy(),
+        "c2w": c2w.copy(),
+    }
+
+
+class RecordingMapper:
+    """Stub mapper: sleeps (so the tracker advances first), then records
+    what its ``video`` view reads — exactly the Mapper read surface."""
+
+    def __init__(self, video):
+        self.live = video
+        self.video = video  # AsyncMapper swaps this to the snapshot per job
+        self.records = []
+
+    def on_keyframe(self, frame_info):
+        time.sleep(0.05)  # let the tracker run ahead of this job
+        rec = _capture(self.video, frame_info["video_idx"])
+        rec["live_t"] = self.live.counter  # where tracking is RIGHT NOW
+        self.records.append(rec)
+
+
+@pytest.fixture(scope="module")
+def tracked():
+    """Run the synthetic tracker with the ASYNC mapper stub, capturing the
+    expected (synchronous-instant) view at every handshake."""
+    from glorie_slam_tpu.nets.tracker_net import TrackerNet
+    from glorie_slam_tpu.tracking.tracker import Tracker
+
+    H, W, N = 64, 96, 16
+    stream = SyntheticStream(n_frames=N, H=H, W=W, seed=3, motion_scale=0.02)
+    cfg = base_cfg(H=H, W=W, buffer=32)
+    cfg["tracking"]["warmup"] = 6
+    cfg["tracking"]["motion_filter"]["thresh"] = 0.0
+    cfg["tracking"]["frontend"]["keyframe_thresh"] = 0.0
+
+    video = DepthVideo(cfg)
+    tn = TrackerNet(seed=0)
+    stub = RecordingMapper(video)
+    asyncm = AsyncMapper(stub, video)
+    expected = []
+
+    def on_kf(info):
+        if not info.get("end"):
+            # synchronous-instant capture on the tracker thread, right at
+            # the handshake — the oracle the snapshot must reproduce
+            expected.append(_capture(video, info["video_idx"]))
+        asyncm.on_keyframe(info)
+
+    tracker = Tracker(
+        tn, video, cfg,
+        mono_predictor=lambda ts, img: stream.depths[int(ts)],
+        on_keyframe=on_kf,
+    )
+    tracker.only_tracking = False
+    tracker.run(stream)
+    asyncm.join()
+    return stub, expected, video, asyncm
+
+
+def test_snapshot_matches_handshake_instant(tracked):
+    stub, expected, _, _ = tracked
+    assert len(stub.records) >= 5, "mapper stub was never invoked"
+    assert len(stub.records) == len(expected)
+    for got, want in zip(stub.records, expected):
+        assert got["t"] == want["t"]
+        np.testing.assert_array_equal(got["poses"], want["poses"])
+        np.testing.assert_array_equal(got["est_depth"], want["est_depth"])
+        np.testing.assert_array_equal(got["mask"], want["mask"])
+        np.testing.assert_array_equal(got["c2w"], want["c2w"])
+
+
+def test_snapshot_is_actually_overlapped(tracked):
+    """At least one job must have executed while live tracking was already
+    AHEAD of its snapshot (otherwise the 'overlap' test is vacuous
+    lock-step)."""
+    stub, _, _, _ = tracked
+    assert any(r["live_t"] > r["t"] for r in stub.records)
+
+
+def test_write_through_row_does_not_clobber_live(tracked):
+    _, _, video, _ = tracked
+    import jax.numpy as jnp
+
+    snap = VideoSnapshot(video)
+    # tracker rebinds AFTER the snapshot was taken
+    live_new = video.depth_scale.at[0].set(7.0)
+    video.depth_scale = live_new
+    snap.set_depth_scale_shift(3, 2.5, 0.25)
+    assert float(video.depth_scale[0]) == 7.0, "row write clobbered rebind"
+    assert float(video.depth_scale[3]) == 2.5
+    assert float(video.depth_shift[3]) == 0.25
+    assert float(snap.depth_scale[3]) == 2.5
+
+
+def test_worker_exception_propagates_and_join_idempotent(tracked):
+    _, _, video, _ = tracked
+
+    class Boom:
+        def __init__(self):
+            self.video = video
+
+        def on_keyframe(self, info):
+            raise RuntimeError("boom")
+
+    am = AsyncMapper(Boom(), video)
+    am.on_keyframe({"video_idx": 0, "timestamp": 0, "end": False})
+    with pytest.raises(RuntimeError, match="boom"):
+        am.join()
+    am.join()  # idempotent after thread exit
