@@ -482,54 +482,55 @@ class FactorGraph:
             # radius-bounded degree of the global proposal at any scale.
             Ec_cap = max(bucket(max([c for c in chunk_sizes if c] or [1])),
                          64)
+            # pack every chunk's (bucket-padded) edge rows, then run the
+            # WHOLE sweep as one scanned program (_lowmem_sweep): the python
+            # chunk loop costs ~6 remote dispatches per chunk, dominating
+            # dense_ba wall time at scale
+            M8 = 8
+            csel, ciis, cjjs, ckks, ckxs, cev, ckns = [], [], [], [], [], \
+                [], []
             for i in range(0, int(self.jj.max()) + 1, s):
                 sel = (self.ii >= i) & (self.ii < i + s)
-                if sel.sum() < 1:
+                Ec = int(sel.sum())
+                if Ec < 1:
                     continue
                 idx = np.where(sel)[0]
-                Ec = len(idx)
-                Ec_pad = Ec_cap
-                pad = Ec_pad - Ec
-                iis = np.concatenate([self.ii[idx], -np.ones(pad, np.int64)])
-                jjs = np.concatenate([self.jj[idx], -np.ones(pad, np.int64)])
-                # fixed-shape gathers: pad the INDEX list, not the result
-                idx_p = np.concatenate([idx, np.zeros(pad, np.int64)])
-                sel_d = jnp.asarray(idx_p, jnp.int32)
-                valid = jnp.asarray(
-                    (np.arange(Ec_pad) < Ec).astype(np.float32))
-
-                coords_c = coords1_all[sel_d]
+                pad = Ec_cap - Ec
+                csel.append(np.concatenate([idx, np.zeros(pad, np.int64)]))
+                ciis.append(np.concatenate(
+                    [self.ii[idx], np.zeros(pad, np.int64)]))
+                cjjs.append(np.concatenate(
+                    [self.jj[idx], np.zeros(pad, np.int64)]))
                 kx, kk = np.unique(self.ii[idx], return_inverse=True)
-                M_pad = bucket(len(kx))
-                kk_p = np.concatenate([kk, np.full(pad, M_pad - 1)]).astype(
-                    np.int32
-                )
-                out = _lowmem_chunk_step(
-                    self.update_apply, self.params, v.corr_pyr,
-                    self.net[sel_d], v.inps[jnp.asarray(
-                        np.maximum(iis, 0).astype(np.int32))].astype(
-                        jnp.bfloat16),
-                    coords_c, motn_all[sel_d],
-                    jnp.asarray(np.maximum(iis, 0).astype(np.int32)),
-                    jnp.asarray(np.maximum(jjs, 0).astype(np.int32)),
-                    jnp.asarray(kk_p), valid, num_frames=M_pad,
-                )
-                net2, delta, weight2, eta, upmask = out
-                self.net = _rows_write(self.net, sel_d, net2, valid)
-                self.target = _rows_write(
-                    self.target, sel_d,
-                    coords_c + delta.astype(jnp.float32), valid)
-                self.weight = _rows_write(
-                    self.weight, sel_d, weight2.astype(jnp.float32), valid)
-                n_kx = len(kx)
-                kx_p = jnp.asarray(
-                    np.concatenate([kx, np.zeros(M_pad - n_kx, np.int64)]),
-                    jnp.int32)
-                kx_valid = jnp.asarray(
-                    (np.arange(M_pad) < n_kx).astype(np.float32))
-                self.damping = _frame_rows_write(
-                    self.damping, kx_p, eta, kx_valid)
-                v.upsample(kx, upmask)
+                ckks.append(np.concatenate(
+                    [kk, np.full(pad, M8 - 1)]).astype(np.int64))
+                ckxs.append(np.concatenate(
+                    [kx, np.zeros(M8 - len(kx), np.int64)]))
+                cev.append((np.arange(Ec_cap) < Ec).astype(np.float32))
+                ckns.append(len(kx))
+            nc = len(csel)
+            ncp = bucket(nc)
+            for _ in range(ncp - nc):   # pad chunks are full no-ops
+                csel.append(np.zeros(Ec_cap, np.int64))
+                ciis.append(np.zeros(Ec_cap, np.int64))
+                cjjs.append(np.zeros(Ec_cap, np.int64))
+                ckks.append(np.full(Ec_cap, M8 - 1, np.int64))
+                ckxs.append(np.zeros(M8, np.int64))
+                cev.append(np.zeros(Ec_cap, np.float32))
+                ckns.append(0)
+            i32 = jnp.int32
+            (self.net, self.target, self.weight, self.damping,
+             v.disps_up) = _lowmem_sweep(
+                self.update_apply, self.params, self.net, self.target,
+                self.weight, self.damping, v.disps_up, v.disps, v.corr_pyr,
+                v.inps, coords1_all, motn_all,
+                jnp.asarray(np.stack(csel), i32),
+                jnp.asarray(np.stack(ciis), i32),
+                jnp.asarray(np.stack(cjjs), i32),
+                jnp.asarray(np.stack(ckks), i32),
+                jnp.asarray(np.stack(ckxs), i32),
+                jnp.asarray(np.stack(cev)),
+                jnp.asarray(np.asarray(ckns, np.int64), i32), M8=M8)
 
             kxu = np.unique(self.ii)
             kxu_p = np.concatenate(
@@ -749,19 +750,56 @@ class FactorGraph:
         return len(self.ii)
 
 
-@partial(jax.jit, static_argnames=("update_apply", "num_frames"))
-def _lowmem_chunk_step(update_apply, params, feat_pyr, net, inp, coords1,
-                       motn, ii, jj, kk, edge_mask, num_frames: int):
-    """AltCorr chunk: compute chunk correlation on the fly + GRU update
-    (reference factor_graph.py:268-295 update_lowmem inner loop). The
-    correlation windows come straight from the frames' feature pyramids —
-    the exact ◆altcorr semantics (src/lib/altcorr_kernel.cu:28-355): no
-    chunk volume is ever materialized."""
-    corr_feat = corr_mod.lookup_pyramid_feats(feat_pyr, ii, jj, coords1)
+@partial(jax.jit, static_argnames=("update_apply", "M8"),
+         donate_argnums=(2, 3, 4, 5, 6))
+def _lowmem_sweep(update_apply, params, net_buf, target_buf, weight_buf,
+                  damping, disps_up, disps, feat_pyr, inps_store,
+                  coords1_all, motn_all, sel_idx, iis, jjs, kks, kxs,
+                  edge_valid, kns, M8: int = 8):
+    """ALL of a backend GRU sweep's chunks as ONE ``lax.scan`` program.
+
+    The python chunk loop costs ~6 remote dispatches per chunk
+    (lookup+GRU, three capacity-row merges, damping merge, upsample) —
+    at 400 keyframes that is ~50 chunks x 6 round trips x steps. Scanning
+    over bucket-padded chunk index arrays keeps the same per-chunk memory
+    footprint (the reason update_lowmem chunks at all, reference
+    factor_graph.py:259-309) while the whole sweep becomes one dispatch.
+    Buffers are donated; pad chunks (kns == 0) write nothing.
+
+    sel_idx/iis/jjs/kks/edge_valid: (n_chunks_pad, Ec) per-chunk edge rows;
+    kxs: (n_chunks_pad, M8) global frame ids; kns: (n_chunks_pad,) valid
+    frame counts. Returns (net, target, weight, damping, disps_up).
+    """
+    from .depth_video import _upsample_merge
+
     bf = jnp.bfloat16
-    net2, delta, weight, eta, upmask = update_apply(
-        params, net.astype(bf), inp.astype(bf), corr_feat.astype(bf),
-        motn.astype(bf), kk, num_frames, edge_mask,
-    )
-    return net2, delta, weight.astype(jnp.float32), eta.astype(jnp.float32), \
-        upmask.astype(jnp.float32)
+
+    def body(carry, chunk):
+        net_buf, target_buf, weight_buf, damping, disps_up = carry
+        sel, ii, jj, kk, kx, ev, kn = chunk
+        coords_c = coords1_all[sel]
+        corr = corr_mod.lookup_pyramid_feats(feat_pyr, ii, jj, coords_c)
+        net2, delta, weight2, eta, upmask = update_apply(
+            params, net_buf[sel].astype(bf), inps_store[ii].astype(bf),
+            corr.astype(bf), motn_all[sel].astype(bf), kk, M8, ev)
+
+        em = ev[:, None, None, None] > 0
+        def merge(buf, vals):
+            d = jnp.where(em, vals.astype(buf.dtype) - buf[sel],
+                          0).astype(buf.dtype)
+            return buf.at[sel].add(d)
+        net_buf = merge(net_buf, net2)
+        target_buf = merge(target_buf, coords_c + delta.astype(jnp.float32))
+        weight_buf = merge(weight_buf, weight2.astype(jnp.float32))
+        kv = (jnp.arange(M8) < kn)[:, None, None]
+        dd = jnp.where(kv, eta.astype(damping.dtype) - damping[kx],
+                       0).astype(damping.dtype)
+        damping = damping.at[kx].add(dd)
+        disps_up = _upsample_merge(disps, disps_up, kx,
+                                   upmask.astype(jnp.float32), kn)
+        return (net_buf, target_buf, weight_buf, damping, disps_up), None
+
+    carry, _ = jax.lax.scan(
+        body, (net_buf, target_buf, weight_buf, damping, disps_up),
+        (sel_idx, iis, jjs, kks, kxs, edge_valid, kns))
+    return carry

@@ -223,6 +223,10 @@ class Mapper:
         self.dynamic_r_add = None
         self.dynamic_r_query = None
         self.r_query_store: Dict[int, np.ndarray] = {}
+        # structured loss curves (sampled every 20 train iters): the
+        # convergence evidence for the realistic schedule
+        # (scripts/mapper_schedule_run.py, tests/test_mapper_schedule.py)
+        self.loss_history: List[Dict] = []
         self.rng = np.random.default_rng(cfg.get("setup_seed", 43))
         self.init = True
         self.frame_reader = slam.stream
@@ -578,6 +582,13 @@ class Mapper:
                 feat_mask, feat_mask, dec_mask, intr, w_losses,
                 stage=stage, pix_warp=self.pix_warping, Wi=W, Hi=H,
             )
+            if it % 20 == 0 or it == num_joint_iters - 1:
+                self.loss_history.append({
+                    "idx": int(cur_idx), "iter": it, "stage": sub,
+                    "refine": bool(color_refine),
+                    "geo": float(metrics["geo_loss"]),
+                    "color": float(metrics["color_loss"]),
+                })
             if it % 100 == 0 and self.logger is None:
                 g = float(metrics["geo_loss"])
                 self._print(f"iter {it}: geo_loss {g:.5f}")

@@ -1,0 +1,87 @@
+"""AOT bucket-ladder warm-up: compile every steady-state shape rung BEFORE
+frame 0, so no XLA compile stalls the trajectory mid-run.
+
+All hot programs are bucket-padded (utils/buckets.py), so a run crosses a
+handful of shape rungs as the keyframe count grows (VERDICT r2: the one
+observed crossing cost 19 fresh compiles in a single keyframe — remote
+compiles are 0.5-5 s each, fused-program compiles tens of seconds). The
+counter-dependent rungs are the proposal-grid pow2 pads, the depth-scale
+frame bucket P = bucket(counter), and the loop-closure span bucket
+K_ds = bucket(max ii span) (tracking/fused.py:462-480).
+
+Rather than enumerating programs by hand (fragile against refactors), a
+GHOST pipeline — same config, same TrackerNet params, its own DepthVideo —
+is driven through the real code path with its keyframe counter teleported
+along the ladder: each probe admits a frame and runs the full frontend
+update (fused DSPO rounds + loop_ba) plus one online dense_ba at that rung.
+Shape-keyed jit caching then makes the real run hit every program warm;
+with the persistent compile cache the cost is once per machine, not once
+per run.
+"""
+
+import numpy as np
+
+from .buckets import _LADDER
+
+
+def warm_ladder(slam, max_keyframes, printer=None):
+    """Pre-compile the tracking shape ladder up to ``max_keyframes``.
+
+    slam: a constructed SLAM (tracker_net params are shared; all warm
+    state lives in a throwaway DepthVideo). Safe to call before
+    ``tracker.run``; does not touch ``slam.video``.
+    """
+    import jax.numpy as jnp
+
+    from ..core.depth_video import DepthVideo
+    from ..tracking.backend import Backend
+    from ..tracking.frontend import Frontend
+    from ..tracking.motion_filter import MotionFilter
+
+    cfg = slam.cfg
+    tn = slam.tracker_net
+    H, W = cfg["cam"]["H_out"], cfg["cam"]["W_out"]
+
+    video = DepthVideo(cfg)
+    mf = MotionFilter(tn, video, cfg, thresh=-1.0)  # always admit
+    fe = Frontend(tn, video, cfg)
+    ba = Backend(tn, video, cfg)
+    intr = np.array([0.6 * W, 0.6 * W, W / 2.0, H / 2.0], np.float32)
+
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+              for _ in range(3)]
+    ts = [0]
+
+    def step():
+        mf.track(float(ts[0]), frames[ts[0] % len(frames)], intr)
+        mf.prefetch(float(ts[0] + 1), frames[(ts[0] + 1) % len(frames)])
+        fe()
+        ts[0] += 1
+
+    def log(msg):
+        if printer is not None:
+            printer.print(msg, subsystem="info")
+
+    # bootstrap: init shapes + small steady-state rounds
+    log("[warm] bootstrap")
+    for _ in range(fe.warmup + 3):
+        step()
+
+    window = fe.frontend_window
+    rungs = [r for r in _LADDER
+             if window + 2 < r <= min(max_keyframes, video.buffer)]
+    for R in rungs:
+        # teleport just below the crossing, then step across it: probes
+        # both sides of every bucket boundary through the REAL update path
+        # (identical poses => zero distances => loop candidates survive and
+        # the full loop_ba + fused-rounds shapes at this rung compile)
+        video.counter = R - 2
+        fe.t1 = R - 2
+        ts[0] = R - 2
+        fe.graph.clear_edges()  # window-local edges, as in steady state
+        log(f"[warm] rung {R}")
+        step()
+        step()
+        # online global BA shapes at this rung (tracker.py ba_freq cadence)
+        ba.dense_ba(2)

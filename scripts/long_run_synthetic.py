@@ -1,17 +1,22 @@
 #!/usr/bin/env python
 """ScanNet-scale synthetic endurance run (SURVEY §5 profiling requirement).
 
-Tracks a long synthetic stream (default 260 frames at ScanNet-ish 1/8-grid
-scale) through the FULL pipeline with loop closure + online BA enabled,
-logging per-phase wall times and the XLA compile count so shape churn is
-visible. Done-criterion (VERDICT r1 next #6): the run completes with phase
-times logged and no unexpected steady-state recompiles.
+Tracks a long synthetic stream (default 420 frames at ScanNet-ish 1/8-grid
+scale) through the FULL production loop (``Tracker.run``: motion filter with
+lookahead, frontend with loop closure, online global BA, optional mapper
+handshake), logging per-phase wall times, WHICH jitted programs compile at
+which frame (``jax_log_compiles`` capture), and the device-memory high-water
+mark. Done-criterion (VERDICT r2 #5): >=400 keyframes, zero late compiles
+after the AOT bucket-ladder warm-up, peak HBM logged.
 
 Usage:  python scripts/long_run_synthetic.py [n_frames] [out_dir]
+                [--mapping] [--no-warm] [--every-kf K]
 """
 
 import json
+import logging
 import os
+import re
 import sys
 import time
 
@@ -20,9 +25,41 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 
+class CompileCapture(logging.Handler):
+    """Capture jax_log_compiles records, tagged with the current frame."""
+
+    def __init__(self):
+        super().__init__()
+        self.frame = -1  # -1 = warm-up / init phase
+        self.events = []
+
+    def emit(self, record):
+        msg = record.getMessage()
+        m = re.search(r"Compiling ([\w<>._-]+)", msg)
+        if m:
+            self.events.append((self.frame, m.group(1)))
+
+
+def device_mem_peak():
+    """Peak bytes in use on device 0, if the backend reports it."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("peak_bytes_in_use", 0))
+    except Exception:  # noqa: BLE001 - remote transports may not support
+        return None
+
+
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 260
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/glorie_long_run"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_frames = int(args[0]) if len(args) > 0 else 420
+    out = args[1] if len(args) > 1 else "/tmp/glorie_long_run"
+    with_mapping = "--mapping" in sys.argv
+    warm = "--no-warm" not in sys.argv
+    every_kf = 1
+    if "--every-kf" in sys.argv:
+        every_kf = int(sys.argv[sys.argv.index("--every-kf") + 1])
 
     import jax
 
@@ -32,6 +69,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_log_compiles", True)
+    cap = CompileCapture()
+    for name in ("jax._src.dispatch", "jax._src.interpreters.pxla",
+                 "jax._src.compiler"):
+        logging.getLogger(name).addHandler(cap)
+        logging.getLogger(name).setLevel(logging.DEBUG)
 
     from synthetic import SyntheticStream, base_cfg
     from glorie_slam_tpu.slam import SLAM
@@ -44,6 +87,8 @@ def main():
           flush=True)
 
     cfg = base_cfg(H=H, W=W, buffer=min(600, n_frames + 40), out=out)
+    cfg["only_tracking"] = not with_mapping
+    cfg["mapping"]["every_keyframe"] = every_kf
     tc = cfg["tracking"]
     tc["warmup"] = 8
     tc["max_age"] = 50
@@ -56,62 +101,82 @@ def main():
         ba_freq=20, final_ba=True, loop_window=25, loop_nms=12,
         BA_type="DSPO", normalize=True))
 
-    # track compile activity: steady state should add ZERO new cache entries
-    def count_cache():
-        try:
-            return len(os.listdir(cache_dir))
-        except OSError:
-            return 0
-
     slam = SLAM(cfg, stream)
     slam.tracker.mono_predictor = None  # DSPO mono priors fed via filter
-    mf, fe = slam.tracker.motion_filter, slam.tracker.frontend
+    mf = slam.tracker.motion_filter
     mf.mono_predictor = lambda ts, img: stream.depths[int(ts)]
 
-    compiles = []
-    last_cache = count_cache()
-    timer = slam.timer
-    intr = stream.get_intrinsic()
-    t_run = time.perf_counter()
-    for i in range(n_frames):
-        ts, img = stream[i][0], stream[i][1]
-        with timer.phase("motion_filter"):
-            mf.track(ts, img, intr)
-        with timer.phase("frontend"):
-            fe()
-        jax.block_until_ready(slam.video.poses)
-        timer.keyframe()
-        c = count_cache()
-        if c != last_cache:
-            compiles.append((i, c - last_cache))
-            last_cache = c
-        if i % 20 == 19:
-            kf_s = timer.n_keyframes / max(
-                timer.total["motion_filter"] + timer.total["frontend"], 1e-9)
-            print(f"[long-run] frame {i+1}/{n_frames}  kf={slam.video.counter}"
-                  f"  {kf_s:.2f} KF/s  new-compiles={compiles[-3:]}",
-                  flush=True)
+    if warm:
+        from glorie_slam_tpu.utils.warmup import warm_ladder
 
+        t_w = time.perf_counter()
+        warm_ladder(slam, max_keyframes=min(cfg["tracking"]["buffer"],
+                                            n_frames))
+        print(f"[long-run] ladder warm-up: {time.perf_counter()-t_w:.0f}s, "
+              f"{len(cap.events)} programs compiled", flush=True)
+
+    # per-frame hook: Tracker.run calls printer.update_pbar once per frame
+    frame_idx = [0]
+    orig_pbar = slam.printer.update_pbar
+
+    def pbar_hook():
+        cap.frame = frame_idx[0] = frame_idx[0] + 1
+        if frame_idx[0] % 20 == 0:
+            timer = slam.timer
+            tracked = (timer.total.get("motion_filter", 0)
+                       + timer.total.get("frontend", 0)
+                       + timer.total.get("online_ba", 0))
+            kf_s = timer.n_keyframes / max(tracked, 1e-9)
+            print(f"[long-run] frame {frame_idx[0]}/{n_frames}  "
+                  f"kf={slam.video.counter}  {kf_s:.2f} KF/s  "
+                  f"compiles={len([e for e in cap.events if e[0] > 0])}",
+                  flush=True)
+        orig_pbar()
+
+    slam.printer.update_pbar = pbar_hook
+
+    n_warm_compiles = len(cap.events)
+    cap.frame = 0
+    t_run = time.perf_counter()
+    slam.tracker.run(stream)
     wall = time.perf_counter() - t_run
-    with timer.phase("final_ba"):
+
+    with slam.timer.phase("final_ba"):
         slam.final_ba()
     slam.video.save_video(f"{slam.output}/video.npz")
-    summary = timer.dump(f"{slam.output}/logs/phase_times.json")
-    late = [c for c in compiles if c[0] > n_frames // 2]
+    summary = slam.timer.dump(f"{slam.output}/logs/phase_times.json")
+    run_events = [e for e in cap.events if e[0] >= 0]
+    late = [e for e in run_events if e[0] > n_frames // 4]
+    peak = device_mem_peak()
+    timer = slam.timer
+    tracked_s = (timer.total.get("motion_filter", 0)
+                 + timer.total.get("frontend", 0)
+                 + timer.total.get("online_ba", 0)
+                 + timer.total.get("prefetch", 0))
     report = {
         "n_frames": n_frames,
+        "mapping": with_mapping,
+        "every_kf": every_kf,
+        "warmed": warm,
         "n_keyframes": slam.video.counter,
         "wall_s": round(wall, 1),
         "keyframe_fps": summary.get("keyframe_fps"),
-        "compile_events": compiles,
+        "tracking_only_kf_fps": round(slam.video.counter
+                                      / max(tracked_s, 1e-9), 3),
+        "warm_compiles": n_warm_compiles,
+        "run_compile_events": run_events,
         "late_compile_events": late,
+        "peak_hbm_bytes": peak,
     }
     with open(f"{slam.output}/logs/long_run.json", "w") as f:
         json.dump(report, f, indent=2)
-    print("[long-run]", json.dumps(report))
+    print("[long-run]", json.dumps(
+        {k: v for k, v in report.items() if k != "run_compile_events"}))
     if late:
-        print(f"[long-run] WARNING: {len(late)} compile events in the "
-              "second half — steady-state shape churn remains")
+        print(f"[long-run] WARNING: {len(late)} compile events after frame "
+              f"{n_frames // 4} — steady-state shape churn remains:")
+        for fr, fn in late[:40]:
+            print(f"    frame {fr}: {fn}")
 
 
 if __name__ == "__main__":

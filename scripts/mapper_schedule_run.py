@@ -81,17 +81,6 @@ def main():
 
     mapper = Mapper(slam, cfg)
 
-    # capture loss curves from the training loop's printed metrics
-    losses = []
-    orig_print = mapper._print
-
-    def capture(msg, *a, **k):
-        if "geo_loss" in str(msg):
-            losses.append(str(msg))
-        return orig_print(msg, *a, **k)
-
-    mapper._print = capture
-
     t0 = time.perf_counter()
     for t in range(0, NF, 2):
         ts = time.perf_counter()
@@ -114,20 +103,36 @@ def main():
         _, color, _ = outr
         psnr = im.psnr(np.asarray(stream.frames[4]), np.asarray(color))
 
-    iters_total = m["iters_first"] + (NF // 2) * m["iters"] + \
+    iters_total = m["iters_first"] + (NF // 2 - 1) * m["iters"] + \
         2 * m["iters"] * 5
     report = {
+        "schedule": {
+            "iters": m["iters"], "iters_first": m["iters_first"],
+            "geo_iter_first": m["geo_iter_first"],
+            "geo_iter_ratio": m["geo_iter_ratio"],
+            "mapping_window_size": m["mapping_window_size"],
+            "pixels": m["pixels"],
+        },
         "mapping_s": round(t_map, 1),
         "final_refine_s": round(t_refine, 1),
         "approx_train_iters": iters_total,
         "ms_per_train_iter": round(1e3 * (t_map + t_refine) / iters_total, 2),
-        "final_psnr_kf4": None if psnr is None else round(psnr, 2),
+        "final_psnr_kf4": None if psnr is None else round(float(psnr), 2),
         "n_points": int(mapper.npc.pts_num()),
-        "loss_samples": losses[-8:],
+        # structured (idx, iter, stage, geo, color) samples every 20 iters:
+        # the convergence evidence tests/test_mapper_schedule.py asserts on
+        "loss_history": mapper.loss_history,
     }
     with open(f"{slam.output}/logs/mapper_schedule.json", "w") as f:
         json.dump(report, f, indent=2)
-    print("[mapper-sched]", json.dumps(report))
+    # committed artifact (VERDICT r2 #7)
+    repo_logs = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "logs")
+    os.makedirs(repo_logs, exist_ok=True)
+    with open(os.path.join(repo_logs, "mapper_sched_r03.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print("[mapper-sched]", json.dumps(
+        {k: v for k, v in report.items() if k != "loss_history"}))
 
 
 if __name__ == "__main__":
