@@ -27,14 +27,16 @@ def make_texture(size=256, seed=0):
     return (tex - lo) / (hi - lo)
 
 
-def render_frame(pose_w2c, intrinsics, H, W, texture, tex_scale=50.0):
+def render_frame(pose_w2c, intrinsics, H, W, texture, tex_scale=50.0,
+                 T_c2w=None):
     """Render the textured plane from a camera pose; returns (rgb, depth)."""
     fx, fy, cx, cy = intrinsics
     v, u = np.mgrid[0:H, 0:W].astype(np.float32)
     dirs_cam = np.stack(
         [(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1
     )
-    T_c2w = np.asarray(lie.to_matrix(lie.inv(pose_w2c)))
+    if T_c2w is None:
+        T_c2w = np.asarray(lie.to_matrix(lie.inv(pose_w2c)))
     Rwc, origin = T_c2w[:3, :3], T_c2w[:3, 3]
     dirs_w = dirs_cam @ Rwc.T
     t = (PLANE_Z - origin[2]) / dirs_w[..., 2]
@@ -93,16 +95,18 @@ class SyntheticStream:
         import jax.numpy as jnp
 
         self.poses_w2c = np.asarray(lie.exp(jnp.asarray(xi, jnp.float32)))
-        # gt c2w matrices (dataset surface; eval uses stream.poses[idx])
-        self.poses = [
-            np.asarray(lie.to_matrix(lie.inv(jnp.asarray(p))))
-            for p in self.poses_w2c
-        ]
+        # gt c2w matrices (dataset surface; eval uses stream.poses[idx]) —
+        # ONE batched device call for all frames (per-frame calls cost a
+        # remote round trip each on the axon transport)
+        c2w_all = np.asarray(lie.to_matrix(lie.inv(
+            jnp.asarray(self.poses_w2c))))
+        self.poses = list(c2w_all)
         self.frames = []
         self.depths = []
-        for p in self.poses_w2c:
+        for i, p in enumerate(self.poses_w2c):
             rgb, depth = render_frame(
-                jnp.asarray(p), self.intrinsics, H, W, self.texture
+                jnp.asarray(p), self.intrinsics, H, W, self.texture,
+                T_c2w=c2w_all[i],
             )
             self.frames.append(rgb)
             self.depths.append(depth)
