@@ -18,12 +18,32 @@ from ..geom import lie, projective
 _MIN_DEPTH = 0.25
 
 
+# edges per slice of the big-grid path: the per-edge temporaries are
+# (E, ht, wd, 4) — an un-sliced 262144-edge proposal grid (a 460-keyframe
+# dense-BA proposal, padded to pow2) allocates ~18 GB of HBM temps and
+# OOMs the chip. 16384 edges x ~6 live temps ≈ 1.9 GB at 1/8 Replica res.
+_CHUNK = 16384
+
+
 @jax.jit
 def frame_distance(poses, disps, intrinsics, ii, jj, beta=0.3):
     """Mean flow distance for each edge (one direction).
 
     poses (N,7), disps (N,ht,wd), intrinsics (4,), ii/jj (E,). Returns (E,).
+    Large edge lists (trajectory-scale proposal grids) are processed in
+    ``lax.map`` slices so HBM stays bounded — one dispatch either way.
     """
+    E = ii.shape[0]
+    if E > _CHUNK and E % _CHUNK == 0:
+        return jax.lax.map(
+            lambda ab: _frame_distance_impl(
+                poses, disps, intrinsics, ab[0], ab[1], beta),
+            (ii.reshape(-1, _CHUNK), jj.reshape(-1, _CHUNK)),
+        ).reshape(E)
+    return _frame_distance_impl(poses, disps, intrinsics, ii, jj, beta)
+
+
+def _frame_distance_impl(poses, disps, intrinsics, ii, jj, beta):
     ht, wd = disps.shape[-2:]
     fx, fy, cx, cy = intrinsics
     grid = projective.coords_grid(ht, wd, dtype=disps.dtype)

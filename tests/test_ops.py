@@ -457,3 +457,25 @@ def test_depth_agree_escape_large_rotation():
     counts = (np.asarray(agree).reshape(M, 6, h, w)
               * np.asarray(in_range, np.float32)[:, :, None, None]).sum(1)
     np.testing.assert_allclose(counts, ref, atol=1e-5)
+
+
+def test_frame_distance_chunked_matches_unchunked():
+    """Trajectory-scale proposal grids route through the lax.map sliced
+    path (HBM-bounded); values must equal the direct computation."""
+    from glorie_slam_tpu.ops import distance as dist_mod
+    from glorie_slam_tpu.geom import lie
+
+    rng = np.random.default_rng(11)
+    N, h, w = 12, 8, 12
+    poses = lie.exp(jnp.asarray(
+        np.cumsum(rng.normal(size=(N, 6)) * 0.05, 0), jnp.float32))
+    disps = jnp.asarray(0.5 + rng.random((N, h, w)), jnp.float32)
+    intr = jnp.asarray([w, w, w / 2, h / 2], jnp.float32)
+    E = 2 * dist_mod._CHUNK                      # triggers the sliced path
+    ii = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    jj = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    d_chunked = dist_mod.frame_distance(poses, disps, intr, ii, jj, 0.3)
+    d_direct = dist_mod._frame_distance_impl(
+        poses, disps, intr, ii, jj, 0.3)
+    np.testing.assert_allclose(np.asarray(d_chunked), np.asarray(d_direct),
+                               rtol=1e-6, atol=1e-5)
