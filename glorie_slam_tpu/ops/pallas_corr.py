@@ -516,29 +516,49 @@ def _depth_agree_kernel(jxs_ref, cu_ref, d0_ref, d1_ref, d2_ref, d3_ref,
     if vband < ht or uband < wd:   # full-plane slab is already exact
         @pl.when(any_esc)
         def _escape_pass():
-            # full-plane 4-corner test, merged ONLY into escaped pixels
-            iota_vf = jax.lax.broadcasted_iota(jnp.int32, (ht, 1), 0)
-            iota_uf = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0)
+            # Exact 4-corner test for escaped pixels: a ROLLED fori_loop
+            # sweeps full-width (vband, wd) slabs down the plane, so every
+            # pixel's footprint is covered regardless of where it landed.
+            # Rolled (not a full-plane one-hot) because Mosaic compile time
+            # explodes on the 24-matmul unrolled form; and every select
+            # keeps f32 VALUE operands — Mosaic cannot lower vector
+            # selects/truncations on i1 values (observed "arith.trunci
+            # vector<1024xi8> -> vector<1024xi1>" failure on v5e).
+            n_slabs = -(-ht // vband)
+            iota_vb = jax.lax.broadcasted_iota(jnp.int32, (vband, 1), 0)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0)
             for k in range(6):
                 u0, v0, izd, thr, inb, in_slab = saved[k]
-                esc = inb & ~in_slab
-                dmap = d_refs[k][0]                      # (ht, wd)
-                agree = jnp.zeros_like(esc)
-                for dv in (0, 1):
-                    oh_v = (iota_vf == (v0 + dv)[None, :]).astype(
-                        jnp.float32)                     # (ht, tile)
-                    rows = jax.lax.dot_general(
-                        dmap, oh_v, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (wd, tile)
-                    for du in (0, 1):
-                        oh_u = (iota_uf == (u0 + du)[None, :])
-                        c = jnp.sum(jnp.where(oh_u, rows, 0.0), axis=0)
-                        agree = agree | (jnp.abs(izd - 1.0 / c) < thr)
-                merged = jnp.where(esc, agree,
-                                   out_ref[0, k, :].astype(jnp.float32)
-                                   > 0.5)
-                out_ref[0, k, :] = jnp.where(
-                    merged, 1.0, 0.0).astype(jnp.bfloat16)
+
+                def body(s, agree, k=k, u0=u0, v0=v0, izd=izd, thr=thr):
+                    vb = jnp.minimum(s * vband, max(ht - vband, 0))
+                    vb = pl.multiple_of(vb, 8)
+                    slab = d_refs[k][0, pl.ds(vb, min(vband, ht)), :]
+                    for dv in (0, 1):
+                        rloc = v0 + dv - vb
+                        inr = jnp.where((rloc >= 0) & (rloc < vband),
+                                        1.0, 0.0)
+                        oh_v = (iota_vb == jnp.clip(rloc, 0, vband - 1)
+                                [None, :]).astype(jnp.float32)
+                        rows = jax.lax.dot_general(
+                            slab, oh_v, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (wd, t)
+                        for du in (0, 1):
+                            oh_u = (iota_w == (u0 + du)[None, :])
+                            c = jnp.sum(jnp.where(oh_u, rows, 0.0), axis=0)
+                            hit = jnp.where(
+                                jnp.abs(izd - 1.0 / c) < thr, 1.0, 0.0)
+                            agree = jnp.maximum(agree, hit * inr)
+                    return agree
+
+                agree = jax.lax.fori_loop(
+                    0, n_slabs, body,
+                    jnp.zeros((u0.shape[0],), jnp.float32))
+                ok = jnp.where(inb, agree, 0.0)
+                esc_f = jnp.where(inb & ~in_slab, 1.0, 0.0)
+                prev = out_ref[0, k, :].astype(jnp.float32)
+                out_ref[0, k, :] = (esc_f * ok + (1.0 - esc_f)
+                                    * prev).astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=("ht", "wd", "vband", "uband",
