@@ -21,7 +21,7 @@ per run.
 
 import numpy as np
 
-from .buckets import _LADDER
+from .buckets import _LADDER, bucket
 
 
 def warm_ladder(slam, max_keyframes, printer=None):
@@ -69,8 +69,13 @@ def warm_ladder(slam, max_keyframes, printer=None):
         step()
 
     window = fe.frontend_window
-    rungs = [r for r in _LADDER
-             if window + 2 < r <= min(max_keyframes, video.buffer)]
+    top = min(max_keyframes, video.buffer)
+    rungs = [r for r in _LADDER if window + 2 < r <= top]
+    if top not in rungs:
+        # the run's final stretch sits ABOVE the last ladder rung (e.g.
+        # 420 keyframes with rungs ...384): its P = bucket(counter) shapes
+        # only compile if probed explicitly
+        rungs.append(top)
     for R in rungs:
         # teleport just below the crossing, then step across it: probes
         # both sides of every bucket boundary through the REAL update path
@@ -83,5 +88,38 @@ def warm_ladder(slam, max_keyframes, printer=None):
         log(f"[warm] rung {R}")
         step()
         step()
-        # online global BA shapes at this rung (tracker.py ba_freq cadence)
+
+    # the global dense BA's shape signature — depth-scale frame bucket P,
+    # pow2-padded proposal grid, lowmem chunk-count bucket, edge-capacity
+    # bucket — changes at counters BETWEEN frontend ladder rungs (e.g. the
+    # grid pad crosses pow2 at counter 182, no rung nearby), so probe one
+    # representative counter per DISTINCT signature instead of per rung
+    def _pow2_grid(c):
+        e = c * c
+        p = bucket(min(e, 256))
+        while p < e:
+            p *= 2
+        return p
+
+    radius = ba.backend_radius
+
+    def _sig(c):
+        return (bucket(c), _pow2_grid(c), bucket(max(1, -(-c // 8))),
+                bucket((radius + 2) * 2 * c))
+
+    seen = set()
+    for c in range(window + 3, top + 1):
+        if _sig(c) in seen:
+            continue
+        seen.add(_sig(c))
+        video.counter = c
+        fe.t1 = c
+        log(f"[warm] dense_ba @ {c}")
         ba.dense_ba(2)
+
+    # terminate-phase shapes: the full-resolution multiview mask refresh
+    # (lazy; first real read happens at save_video/eval with nearly every
+    # frame dirty)
+    log("[warm] full-res mask refresh")
+    video.dirty[:video.counter] = True
+    _ = video.valid_depth_mask

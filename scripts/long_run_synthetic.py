@@ -31,13 +31,17 @@ class CompileCapture(logging.Handler):
     def __init__(self):
         super().__init__()
         self.frame = -1  # -1 = warm-up / init phase
-        self.events = []
+        self.events = []       # in-process traces (cheap if cache-warm)
+        self.cold = []         # persistent-cache MISSES (real compiles)
 
     def emit(self, record):
         msg = record.getMessage()
-        m = re.search(r"Compiling ([\w<>._-]+)", msg)
+        m = re.search(r"Compiling ([\w<>()._-]+)", msg)
         if m:
             self.events.append((self.frame, m.group(1)))
+        m = re.search(r"CACHE MISS for '([^']+)'", msg)
+        if m:
+            self.cold.append((self.frame, m.group(1)))
 
 
 def device_mem_peak():
@@ -147,6 +151,7 @@ def main():
     summary = slam.timer.dump(f"{slam.output}/logs/phase_times.json")
     run_events = [e for e in cap.events if e[0] >= 0]
     late = [e for e in run_events if e[0] > n_frames // 4]
+    late_cold = [e for e in cap.cold if e[0] > n_frames // 4]
     peak = device_mem_peak()
     timer = slam.timer
     tracked_s = (timer.total.get("motion_filter", 0)
@@ -165,18 +170,25 @@ def main():
                                       / max(tracked_s, 1e-9), 3),
         "warm_compiles": n_warm_compiles,
         "run_compile_events": run_events,
+        # traces of shapes the warm pass missed: ~40 ms each when the
+        # persistent cache holds them (it does after one warm run)
         "late_compile_events": late,
+        # REAL mid-run compiles (persistent-cache misses): the stall metric
+        "late_cold_compiles": late_cold,
         "peak_hbm_bytes": peak,
     }
     with open(f"{slam.output}/logs/long_run.json", "w") as f:
         json.dump(report, f, indent=2)
     print("[long-run]", json.dumps(
         {k: v for k, v in report.items() if k != "run_compile_events"}))
-    if late:
-        print(f"[long-run] WARNING: {len(late)} compile events after frame "
-              f"{n_frames // 4} — steady-state shape churn remains:")
-        for fr, fn in late[:40]:
+    if late_cold:
+        print(f"[long-run] WARNING: {len(late_cold)} COLD compiles after "
+              f"frame {n_frames // 4} — real mid-run stalls:")
+        for fr, fn in late_cold[:40]:
             print(f"    frame {fr}: {fn}")
+    elif late:
+        print(f"[long-run] note: {len(late)} warm re-traces after frame "
+              f"{n_frames // 4} (~40 ms each; persistent cache hits)")
 
 
 if __name__ == "__main__":
