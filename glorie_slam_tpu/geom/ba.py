@@ -199,16 +199,23 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
 
         # ---- pose Hessian (dense, sentinel row P_max absorbs fixed poses)
         # one-hot contractions instead of block scatter-adds (see the Schur
-        # assembly below for why)
+        # assembly below for why). Structure exploited: Hii/Hjj place with
+        # the SAME one-hot on both sides, so they only ever land on the
+        # (p == q) diagonal — an (E, P+1) contraction instead of (P+1)^2;
+        # and Hji = Hij^T lands at the transposed slot, so ONE cross-term
+        # einsum + its mirror covers both off-diagonal blocks. 4 -> 1
+        # quadratic placements (~3.5 ms/GN at bench scale).
         Oi = (slot_i[:, None] == jnp.arange(P_max + 1)[None, :]).astype(
             poses.dtype)                                 # (E, P+1)
         Oj = (slot_j[:, None] == jnp.arange(P_max + 1)[None, :]).astype(
             poses.dtype)
-        def place(Oa, blk, Ob):
-            return jnp.einsum("epij,eq->pqij", Oa[:, :, None, None] * blk[:, None],
-                              Ob, precision=_HI)
-        H = (place(Oi, Hii, Oi) + place(Oi, Hij, Oj)
-             + place(Oj, Hji, Oi) + place(Oj, Hjj, Oj))
+        Hdiag = (jnp.einsum("ep,eij->pij", Oi, Hii, precision=_HI)
+                 + jnp.einsum("ep,eij->pij", Oj, Hjj, precision=_HI))
+        X = jnp.einsum("epij,eq->pqij", Oi[:, :, None, None] * Hij[:, None],
+                       Oj, precision=_HI)
+        H = (X + jnp.transpose(X, (1, 0, 3, 2))
+             + Hdiag[:, None] * jnp.eye(P_max + 1, dtype=poses.dtype)
+             [:, :, None, None])
         v = (jnp.einsum("ep,ei->pi", Oi, vi, precision=_HI)
              + jnp.einsum("ep,ei->pi", Oj, vj, precision=_HI))
 

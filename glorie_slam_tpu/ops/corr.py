@@ -145,7 +145,16 @@ def prep_feat_pyramid(fmaps, num_levels: int = LEVELS):
     """
     N, h8, w8, C = fmaps.shape
     npix = h8 * w8
+    # pad the pixel dim so the WIDEST acceptable Pallas tile divides it:
+    # 512/256-px tiles quarter/halve the kernel grid-step count vs 128
+    # (the per-step Mosaic overhead dominates the lookup at bench scale),
+    # at the price of <=20% padded pixels of stage-0 matmul waste
     pad = (-npix) % pallas_corr.PLANE
+    for m in (512, 256):
+        p = (-npix) % m
+        if p <= 0.2 * npix:
+            pad = p
+            break
     flat = fmaps.reshape(N, npix, C)
     if pad:
         flat = jnp.concatenate(

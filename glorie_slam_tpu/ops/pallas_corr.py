@@ -285,6 +285,10 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
         inv = 1.0 / (2.0 ** lvl)
         x = coords_ref[0, 0, :][None, :] * inv
         y = coords_ref[0, 1, :][None, :] * inv
+        # the tile's raster footprint spans ceil(tile/wl) rows at this
+        # level; widen the slab so wide tiles (256/512 px) keep riding the
+        # banded fast path instead of falling back to the full plane
+        band_l = None if band is None else band + -(-(tile - 1) // wl)
 
         def corr_rows(row_lo, nrows, f2=f2, wl=wl):
             # banded path gated on wl % 8 == 0 so row_lo*wl stays
@@ -297,18 +301,20 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
             )
             return p.reshape(nrows, wl, tile) * scale
 
-        if band is not None and band < hl and wl % 8 == 0:
+        if band_l is not None and band_l < hl and wl % 8 == 0:
             y_min = jnp.min(y)
             y_max = jnp.max(y)
             ybase = jnp.clip(
-                jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band
+                jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band_l
             )
             top = jnp.floor(y_max) + (RADIUS + 1)
-            covered = top <= (ybase + band - 1).astype(jnp.float32)
+            covered = top <= (ybase + band_l - 1).astype(jnp.float32)
 
-            def slab(_, x=x, y=y, wl=wl, ybase=ybase, corr_rows=corr_rows):
+            def slab(_, x=x, y=y, wl=wl, ybase=ybase, corr_rows=corr_rows,
+                     band_l=band_l):
                 return _window_pass(
-                    corr_rows(ybase, band), x, y, band, wl, rd, row0=ybase)
+                    corr_rows(ybase, band_l), x, y, band_l, wl, rd,
+                    row0=ybase)
 
             def full(_, x=x, y=y, hl=hl, wl=wl, corr_rows=corr_rows):
                 return _window_pass(corr_rows(0, hl), x, y, hl, wl, rd)
