@@ -55,6 +55,18 @@ def device_mem_peak():
         return None
 
 
+def live_bytes():
+    """Client-side fallback: bytes of all LIVE jax arrays (lower bound on
+    device residency — excludes executable/scratch space; the remote axon
+    transport does not expose memory_stats)."""
+    import jax
+
+    try:
+        return int(sum(int(x.nbytes) for x in jax.live_arrays()))
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_frames = int(args[0]) if len(args) > 0 else 420
@@ -123,8 +135,14 @@ def main():
     frame_idx = [0]
     orig_pbar = slam.printer.update_pbar
 
+    live_hw = [0]
+
     def pbar_hook():
         cap.frame = frame_idx[0] = frame_idx[0] + 1
+        if frame_idx[0] % 40 == 0:
+            lb = live_bytes()
+            if lb:
+                live_hw[0] = max(live_hw[0], lb)
         if frame_idx[0] % 20 == 0:
             timer = slam.timer
             tracked = (timer.total.get("motion_filter", 0)
@@ -176,6 +194,10 @@ def main():
         # REAL mid-run compiles (persistent-cache misses): the stall metric
         "late_cold_compiles": late_cold,
         "peak_hbm_bytes": peak,
+        # client-side high-water of live array bytes (sampled every 40
+        # frames + at finish): lower bound on device residency when the
+        # transport hides memory_stats
+        "live_bytes_high_water": max(live_hw[0], live_bytes() or 0) or None,
     }
     with open(f"{slam.output}/logs/long_run.json", "w") as f:
         json.dump(report, f, indent=2)

@@ -7,7 +7,12 @@ keyframes, then final_refine at iters*2 with 5 random-window outer passes —
 on oracle tracking state, logging the geo/color loss curves so convergence
 and the per-train-step latency are measured, not assumed.
 
-Usage:  python scripts/mapper_schedule_run.py [out_dir]
+Usage:  python scripts/mapper_schedule_run.py [out_dir] [--cpu]
+
+``--cpu`` pins the run to the host CPU backend (must be decided before the
+first jax import): the artifact's point is CONVERGENCE at the real iteration
+schedule, which is platform-independent; the report's ``platform`` field
+records which backend produced the latency numbers.
 """
 
 import json
@@ -21,9 +26,15 @@ sys.path.insert(0, os.path.join(
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/glorie_mapper_sched"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "/tmp/glorie_mapper_sched"
+    if "--cpu" in sys.argv:
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -116,6 +127,7 @@ def main():
         "mapping_s": round(t_map, 1),
         "final_refine_s": round(t_refine, 1),
         "approx_train_iters": iters_total,
+        "platform": jax.devices()[0].platform,
         "ms_per_train_iter": round(1e3 * (t_map + t_refine) / iters_total, 2),
         "final_psnr_kf4": None if psnr is None else round(float(psnr), 2),
         "n_points": int(mapper.npc.pts_num()),

@@ -337,6 +337,43 @@ def test_feats_pyramid_kernel_interpret_matches_fallback():
         atol=2e-2, rtol=2e-2)
 
 
+def test_feats_pyramid_kernel_wide_tile_banded():
+    """A 32x32 grid pads to npix 1024 -> the kernel auto-selects 512-px
+    tiles AND (band 12 + ceil(511/32) = 28 < hl 32) stays on the banded
+    slab fast path — the wide-tile configuration the Replica bench runs.
+    Must equal the per-level XLA fallback."""
+    from glorie_slam_tpu.ops import pallas_corr
+
+    rng = np.random.default_rng(17)
+    N, C, h0, w0 = 3, 8, 32, 32
+    fmaps = jnp.asarray(rng.normal(size=(N, h0, w0, C)), jnp.float32)
+    pyr = corr.prep_feat_pyramid(fmaps.astype(jnp.bfloat16))
+    assert pyr[0].shape[1] % 512 == 0   # wide tile selected
+    iis = jnp.array([0, 2], jnp.int32)
+    jjs = jnp.array([1, 0], jnp.int32)
+    # smooth small flow keeps every tile's slab coverage check true
+    base = np.stack(np.meshgrid(np.arange(w0), np.arange(h0)), -1)  # [x, y]
+    coords = jnp.asarray(
+        base[None].repeat(2, 0).astype(np.float32)
+        + rng.uniform(-1.5, 1.5, (2, h0, w0, 2)).astype(np.float32))
+
+    ref = corr.lookup_pyramid_feats(pyr, iis, jjs, coords)  # CPU fallback
+
+    npix = h0 * w0
+    N_, npix_pad, C_ = pyr[0].shape
+    dims = ((h0, w0),) + tuple((p.shape[1], p.shape[2]) for p in pyr[1:])
+    stores = (pyr[0],) + tuple(
+        p.reshape(N_, p.shape[1] * p.shape[2], C_) for p in pyr[1:])
+    cc = coords.reshape(2, npix, 2)
+    cpad = jnp.concatenate(
+        [cc, jnp.zeros((2, npix_pad - npix, 2))], axis=1)
+    out = pallas_corr.lookup_feats_pyramid_pallas(
+        pyr[0], stores, iis, jjs, cpad, dims, interpret=True)[:, :npix]
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(2, h0, w0, -1), np.asarray(ref),
+        atol=2e-2, rtol=2e-2)
+
+
 def test_depth_agree_pallas_interpret_matches_gather():
     """Full-res depth_filter path: the Pallas slab kernel (interpret mode)
     must reproduce the gather formulation, including out-of-range neighbors
