@@ -63,8 +63,7 @@ class DepthVideo:
         # lookup_pyramid_feats): level-0 lane-padded flat rows + pooled
         # levels, updated INCREMENTALLY as frames land so the fused
         # tracking programs never re-pool the whole buffer
-        npad = self.h8 * self.w8
-        npad += (-npad) % 128
+        npad = corr_mod.padded_npix(self.h8 * self.w8)
         self.corr_flat = jnp.zeros((buf, npad, 128), jnp.bfloat16)
         dims = []
         h, w = self.h8, self.w8

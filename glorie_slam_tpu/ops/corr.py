@@ -133,6 +133,24 @@ def pool_feat_levels(f, num_levels: int = LEVELS):
     return outs
 
 
+def padded_npix(npix: int) -> int:
+    """Lane-tile padding of the lookup stores' pixel dim.
+
+    Pads so the WIDEST acceptable Pallas tile divides it: 512/256-px tiles
+    quarter/halve the kernel grid-step count vs 128 (the per-step Mosaic
+    overhead dominates the lookup at bench scale), at the price of <=20%
+    padded pixels of stage-0 matmul waste. DepthVideo pre-allocates its
+    corr stores with this SAME function — keep them in lockstep.
+    """
+    pad = (-npix) % pallas_corr.PLANE
+    for m in (512, 256):
+        p = (-npix) % m
+        if p <= 0.2 * npix:
+            pad = p
+            break
+    return npix + pad
+
+
 def prep_feat_pyramid(fmaps, num_levels: int = LEVELS):
     """Build the per-frame lookup stores from the video's feature maps.
 
@@ -145,16 +163,7 @@ def prep_feat_pyramid(fmaps, num_levels: int = LEVELS):
     """
     N, h8, w8, C = fmaps.shape
     npix = h8 * w8
-    # pad the pixel dim so the WIDEST acceptable Pallas tile divides it:
-    # 512/256-px tiles quarter/halve the kernel grid-step count vs 128
-    # (the per-step Mosaic overhead dominates the lookup at bench scale),
-    # at the price of <=20% padded pixels of stage-0 matmul waste
-    pad = (-npix) % pallas_corr.PLANE
-    for m in (512, 256):
-        p = (-npix) % m
-        if p <= 0.2 * npix:
-            pad = p
-            break
+    pad = padded_npix(npix) - npix
     flat = fmaps.reshape(N, npix, C)
     if pad:
         flat = jnp.concatenate(

@@ -105,6 +105,15 @@ def main():
     cfg = base_cfg(H=H, W=W, buffer=min(600, n_frames + 40), out=out)
     cfg["only_tracking"] = not with_mapping
     cfg["mapping"]["every_keyframe"] = every_kf
+    if "--map-light" in sys.argv:
+        # bounded mapper budget for the overlap measurement: the question
+        # this run answers is how much the tracker-parallel mapper worker
+        # (mapping/async_worker.py) costs TRACKING wall-clock on one chip,
+        # not mapping quality — keep each mapped keyframe's optimization
+        # short so the device-contention signal is visible, not saturating
+        cfg["mapping"].update(dict(iters=60, iters_first=80, pixels=300,
+                                   pixels_adding=500))
+        cfg["pointcloud"]["capacity"] = 65536
     tc = cfg["tracking"]
     tc["warmup"] = 8
     tc["max_age"] = 50

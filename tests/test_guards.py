@@ -87,3 +87,32 @@ def test_mono_prior_cadence(stream):
     # threshold — cadence still predicts at even timestamps
     assert video.counter == 1
     assert calls == [0, 2, 4]
+
+def test_corr_store_padding_matches_prep_feat_pyramid():
+    """DepthVideo pre-allocates its correlation stores; prep_feat_pyramid
+    (called per admitted keyframe) must produce rows of EXACTLY that shape.
+    Regression: the wide-tile padding (corr.padded_npix, 512/256 multiples)
+    diverged from the store's old hardcoded 128-multiple at resolutions
+    like h8*w8=640 -> 768, shape-erroring the admit scatter."""
+    import jax.numpy as jnp
+    from glorie_slam_tpu.core.depth_video import DepthVideo
+    from glorie_slam_tpu.nets.tracker_net import TrackerNet
+    from glorie_slam_tpu.ops import corr as corr_mod
+    from synthetic import base_cfg
+
+    H, W = 160, 256            # h8*w8 = 640: pads to 768 (not 640)
+    assert corr_mod.padded_npix(640) == 768
+    cfg = base_cfg(H=H, W=W, buffer=4)
+    video = DepthVideo(cfg)
+    assert video.corr_flat.shape[1] == corr_mod.padded_npix(
+        video.h8 * video.w8)
+
+    # append() path (exercises _update_corr_stores row write)
+    fmap = jnp.ones((video.h8, video.w8, 128), jnp.bfloat16)
+    video.append(0, jnp.zeros((H, W, 3), jnp.uint8),
+                 fmap=fmap, intrinsics=jnp.ones(4))
+    # append_admitted() path (exercises the fused admit scatter)
+    tn = TrackerNet(seed=0)
+    video.append_admitted(1.0, jnp.zeros((H, W, 3), jnp.float32), None,
+                          fmap[None], tn)
+    assert video.counter == 2
