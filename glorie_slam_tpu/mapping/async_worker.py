@@ -117,6 +117,15 @@ class AsyncMapper:
             return
         self._q.put((frame_info, VideoSnapshot(self.video)))
 
+    def quiesce(self):
+        """Block until all queued mapping jobs finish; the worker stays
+        alive (checkpointing needs a consistent mapper state without
+        ending the run)."""
+        self._q.join()
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
     def join(self):
         """Drain pending jobs and stop the worker (idempotent)."""
         if self._thread.is_alive():

@@ -151,10 +151,38 @@ class SLAM:
 
         return load
 
-    def run(self):
-        """Track the stream then terminate (reference slam.py:189-208)."""
-        self.tracker.run(self.stream)
+    def run(self, resume_from: str = None):
+        """Track the stream then terminate (reference slam.py:189-208).
+
+        ``resume_from``: path of a mid-run checkpoint written by
+        :meth:`save_state` — restores the full tracking (and mapping)
+        state and continues from the next unprocessed frame (a capability
+        the reference does not have; SURVEY §5 checkpoint/resume row).
+        """
+        start = 0
+        if resume_from:
+            start = self.load_state(resume_from)
+            self.printer.print(
+                f"resumed from {resume_from} at frame {start}",
+                subsystem="tracker")
+        self.tracker.run(self.stream, start=start)
         self.terminate()
+
+    def save_state(self, path, next_frame):
+        """Snapshot the live SLAM state (utils/checkpoint.py). Call between
+        frames; ``next_frame`` = first stream index a resume should run."""
+        from .utils.checkpoint import save_checkpoint
+
+        if self.async_mapper is not None:
+            # drain in-flight mapping jobs WITHOUT stopping the worker
+            self.async_mapper.quiesce()
+        save_checkpoint(path, self.tracker, next_frame, mapper=self.mapper)
+
+    def load_state(self, path):
+        """Restore a :meth:`save_state` snapshot; returns the resume index."""
+        from .utils.checkpoint import load_checkpoint
+
+        return load_checkpoint(path, self.tracker, mapper=self.mapper)
 
     def final_ba(self):
         """Final global BA: 7 then 12 steps (reference slam.py:119-126)."""

@@ -37,24 +37,28 @@ class Tracker:
         self.ba_freq = tcfg["backend"]["ba_freq"]
         self.every_kf = cfg["mapping"]["every_keyframe"]
 
+        # cadence counters live on the instance (not run() locals) so a
+        # mid-run checkpoint (utils/checkpoint.py) can capture/restore them
+        self.prev_kf_idx = 0
+        self.prev_ba_idx = 0
+        self.number_of_kf = 0
+
     def _print(self, msg):
         if self.printer is not None:
             self.printer.print(msg, subsystem="tracker")
 
-    def run(self, stream):
+    def run(self, stream, start: int = 0):
         """Track every frame of the dataset stream (reference tracker.py:33-78).
 
         stream yields (timestamp, image_hw3_01, gt_color_path?, gt_pose?);
-        only (timestamp, image) are consumed here.
+        only (timestamp, image) are consumed here. ``start``: first stream
+        index to process (checkpoint resume; utils/checkpoint.py).
         """
-        prev_kf_idx = 0
-        prev_ba_idx = 0
-        number_of_kf = 0
         intrinsic = stream.get_intrinsic()
 
         timer = self.timer
         nxt = None
-        for i in range(len(stream)):
+        for i in range(start, len(stream)):
             if nxt is not None:
                 timestamp, image = nxt
             else:
@@ -73,27 +77,28 @@ class Tracker:
                 self.frontend()
             curr_kf_idx = self.video.counter - 1
 
-            if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
-                number_of_kf += 1
+            if (curr_kf_idx != self.prev_kf_idx
+                    and self.frontend.is_initialized):
+                self.number_of_kf += 1
                 timer.keyframe()
                 if (self.enable_online_ba
-                        and curr_kf_idx >= prev_ba_idx + self.ba_freq):
+                        and curr_kf_idx >= self.prev_ba_idx + self.ba_freq):
                     self._print(
                         f"Online BA at {curr_kf_idx}th keyframe, "
                         f"frame index: {timestamp}"
                     )
                     with timer.phase("online_ba"):
                         self.online_ba.dense_ba(2)
-                    prev_ba_idx = curr_kf_idx
+                    self.prev_ba_idx = curr_kf_idx
                 if (not self.only_tracking and self.on_keyframe is not None
-                        and number_of_kf % self.every_kf == 0):
+                        and self.number_of_kf % self.every_kf == 0):
                     # synchronous mapper handshake (reference pipe send/recv)
                     with timer.phase("mapper"):
                         self.on_keyframe(
                             {"is_keyframe": True, "video_idx": curr_kf_idx,
                              "timestamp": timestamp, "end": False}
                         )
-            prev_kf_idx = curr_kf_idx
+            self.prev_kf_idx = curr_kf_idx
             if self.printer is not None:
                 self.printer.update_pbar()
 

@@ -30,6 +30,9 @@ def main():
                         help="override cfg max_frames")
     parser.add_argument("--stride", type=int, default=None,
                         help="override cfg stride")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="mid-run checkpoint (.npz from SLAM.save_state)"
+                             " to restore before tracking")
     args = parser.parse_args()
 
     # persistent compile cache: this workload re-jits a handful of bucketed
@@ -67,7 +70,7 @@ def main():
 
     stream = get_dataset(cfg)
     slam = SLAM(cfg, stream)
-    slam.run()
+    slam.run(resume_from=args.resume)
 
 
 if __name__ == "__main__":
