@@ -123,6 +123,12 @@ class SLAM:
             on_keyframe=on_kf,
             timer=self.timer,
         )
+        # elastic recovery: tracking.checkpoint_every > 0 snapshots the full
+        # SLAM state every N keyframes to <output>/state.npz (resume with
+        # run.py --resume)
+        if self.tracker.checkpoint_every:
+            self.tracker.checkpoint_cb = lambda nxt: self.save_state(
+                f"{self.output}/state.npz", nxt)
 
     def _make_mono_predictor(self, cfg):
         """Mono-depth prior source: online DPT or precomputed .npy cache

@@ -42,6 +42,10 @@ class Tracker:
         self.prev_kf_idx = 0
         self.prev_ba_idx = 0
         self.number_of_kf = 0
+        # elastic recovery: every N keyframes call checkpoint_cb(next_frame)
+        # (SLAM wires this to save_state; 0 = off)
+        self.checkpoint_every = int(tcfg.get("checkpoint_every", 0) or 0)
+        self.checkpoint_cb = None
 
     def _print(self, msg):
         if self.printer is not None:
@@ -98,6 +102,9 @@ class Tracker:
                             {"is_keyframe": True, "video_idx": curr_kf_idx,
                              "timestamp": timestamp, "end": False}
                         )
+                if (self.checkpoint_cb is not None and self.checkpoint_every
+                        and self.number_of_kf % self.checkpoint_every == 0):
+                    self.checkpoint_cb(i + 1)
             self.prev_kf_idx = curr_kf_idx
             if self.printer is not None:
                 self.printer.update_pbar()

@@ -178,3 +178,28 @@ def test_mapper_state_roundtrip(stream, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(m1.dec_params),
                     jax.tree_util.tree_leaves(m2.dec_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_checkpoint_cadence(stream, tmp_path):
+    """tracking.checkpoint_every fires the callback every N keyframes with
+    the NEXT stream index, and the file it saves restores cleanly."""
+    t1 = _make_tracker(stream, cfg_overrides={"checkpoint_every": 3})
+    assert t1.checkpoint_every == 3
+    calls = []
+
+    def cb(next_frame):
+        calls.append(next_frame)
+        ckpt.save_checkpoint(str(tmp_path / "auto.npz"), t1, next_frame)
+
+    t1.checkpoint_cb = cb
+    t1.run(_Truncated(stream, 12))
+    assert len(calls) >= 1
+    # every recorded resume point is a valid stream index
+    assert all(0 < c <= 12 for c in calls)
+
+    t2 = _make_tracker(stream)
+    nxt = ckpt.load_checkpoint(str(tmp_path / "auto.npz"), t2)
+    assert nxt == calls[-1]
+    # the snapshot is from the LAST cadence point: a real, non-empty state
+    # no newer than the live end state
+    assert 0 < t2.video.counter <= t1.video.counter
