@@ -113,8 +113,14 @@ def save_checkpoint(path, tracker, next_frame, mapper=None):
 
     arrs["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), np.uint8)
-    with open(path, "wb") as f:
+    # atomic replace: a crash mid-write must leave the previous snapshot
+    # intact (this file IS the elastic-recovery story)
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrs)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path, tracker, mapper=None):

@@ -203,3 +203,34 @@ def test_auto_checkpoint_cadence(stream, tmp_path):
     # the snapshot is from the LAST cadence point: a real, non-empty state
     # no newer than the live end state
     assert 0 < t2.video.counter <= t1.video.counter
+
+
+def test_resume_equality_with_loop_closure(stream, tmp_path):
+    """Resume equality must hold when the checkpoint lands PAST the loop
+    window — loop_ba and its cadence state (last_loop_t) are part of the
+    snapshot."""
+    ov = dict(max_age=50)
+
+    def mk():
+        t = _make_tracker(stream, cfg_overrides=ov)
+        fe = t.frontend
+        fe.frontend_window = 4       # loop fires from keyframe 5 on
+        fe.enable_loop = True
+        return t
+
+    ta = mk()
+    ta.run(stream)
+    assert ta.frontend.last_loop_t > 0, "loop closure never fired"
+
+    K = 11
+    tb1 = mk()
+    tb1.run(_Truncated(stream, K))
+    path = str(tmp_path / "loop_state.npz")
+    ckpt.save_checkpoint(path, tb1, next_frame=K)
+
+    tb2 = mk()
+    tb2.run(stream, start=ckpt.load_checkpoint(path, tb2))
+    np.testing.assert_array_equal(
+        np.asarray(tb2.video.poses), np.asarray(ta.video.poses))
+    np.testing.assert_array_equal(
+        np.asarray(tb2.video.disps), np.asarray(ta.video.disps))
