@@ -142,8 +142,13 @@ def padded_npix(npix: int) -> int:
     padded pixels of stage-0 matmul waste. DepthVideo pre-allocates its
     corr stores with this SAME function — keep them in lockstep.
     """
+    import os
+
+    max_tile = int(os.environ.get("GLORIE_MAX_TILE", 512))
     pad = (-npix) % pallas_corr.PLANE
     for m in (512, 256):
+        if m > max_tile:
+            continue
         p = (-npix) % m
         if p <= 0.2 * npix:
             pad = p
