@@ -234,3 +234,31 @@ def test_resume_equality_with_loop_closure(stream, tmp_path):
         np.asarray(tb2.video.poses), np.asarray(ta.video.poses))
     np.testing.assert_array_equal(
         np.asarray(tb2.video.disps), np.asarray(ta.video.disps))
+
+
+def test_slam_surface_save_load(stream, tmp_path):
+    """SLAM.save_state / load_state / run(resume_from=...) public surface."""
+    from glorie_slam_tpu.slam import SLAM
+
+    def mk():
+        cfg = base_cfg(H=64, W=96, buffer=32,
+                       out=str(tmp_path / "slam_out"))
+        cfg["tracking"]["warmup"] = 8
+        cfg["tracking"]["motion_filter"]["thresh"] = 0.0
+        cfg["tracking"]["frontend"]["keyframe_thresh"] = 0.0
+        s = SLAM(cfg, stream)
+        s.tracker.motion_filter.mono_predictor = \
+            lambda ts, img: stream.depths[int(ts)]
+        return s
+
+    s1 = mk()
+    s1.tracker.run(_Truncated(stream, 10))
+    path = str(tmp_path / "slam_state.npz")
+    s1.save_state(path, next_frame=10)
+
+    s2 = mk()
+    nxt = s2.load_state(path)
+    assert nxt == 10
+    assert s2.video.counter == s1.video.counter
+    s2.tracker.run(stream, start=nxt)
+    assert s2.video.counter >= s1.video.counter
