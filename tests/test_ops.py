@@ -337,18 +337,25 @@ def test_feats_pyramid_kernel_interpret_matches_fallback():
         atol=2e-2, rtol=2e-2)
 
 
-def test_feats_pyramid_kernel_wide_tile_banded():
-    """A 32x32 grid pads to npix 1024 -> the kernel auto-selects 512-px
-    tiles AND (band 12 + ceil(511/32) = 28 < hl 32) stays on the banded
-    slab fast path — the wide-tile configuration the Replica bench runs.
-    Must equal the per-level XLA fallback."""
+import pytest
+
+
+@pytest.mark.parametrize("h0,w0,tile_mult", [
+    (32, 32, 512),   # Replica-bench-like: 512-px tiles, banded at level 0
+    (30, 40, 256),   # ScanNet endurance geometry: npix 1200 -> 1280, 256px
+])
+def test_feats_pyramid_kernel_wide_tile_banded(h0, w0, tile_mult):
+    """Wide-tile configurations the production pipeline runs: the padded
+    pixel dim selects 512/256-px tiles and level 0 stays on the banded slab
+    fast path (band 12 + ceil((tile-1)/wl) < hl). Must equal the per-level
+    XLA fallback."""
     from glorie_slam_tpu.ops import pallas_corr
 
     rng = np.random.default_rng(17)
-    N, C, h0, w0 = 3, 8, 32, 32
+    N, C = 3, 8
     fmaps = jnp.asarray(rng.normal(size=(N, h0, w0, C)), jnp.float32)
     pyr = corr.prep_feat_pyramid(fmaps.astype(jnp.bfloat16))
-    assert pyr[0].shape[1] % 512 == 0   # wide tile selected
+    assert pyr[0].shape[1] % tile_mult == 0   # wide tile selected
     iis = jnp.array([0, 2], jnp.int32)
     jjs = jnp.array([1, 0], jnp.int32)
     # smooth small flow keeps every tile's slab coverage check true
