@@ -202,8 +202,15 @@ def lookup_pyramid_feats(feat_pyr, iis, jjs, coords, radius: int = RADIUS,
     N, npix_pad, C = f1_store.shape
     c = coords.reshape(E, npix, 2)
     if npix_pad != npix:
+        # pad with the LAST REAL coordinate, not zeros: the Pallas band
+        # predicate takes min/max(y) over each tile, and a zero-padded tail
+        # tile mixes y=0 with bottom-row coords — its span then exceeds the
+        # band every time, forcing the exact full-plane fallback on the
+        # final tile of EVERY lookup. Replicated pads keep the span tight
+        # (their looked-up values are cropped below either way).
         c = jnp.concatenate(
-            [c, jnp.zeros((E, npix_pad - npix, 2), c.dtype)], axis=1)
+            [c, jnp.broadcast_to(c[:, npix - 1:npix],
+                                 (E, npix_pad - npix, 2))], axis=1)
     iis = jnp.asarray(iis, jnp.int32)
     jjs = jnp.asarray(jjs, jnp.int32)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")

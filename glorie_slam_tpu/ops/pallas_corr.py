@@ -89,10 +89,12 @@ def _lookup_kernel(coords_ref, plane_ref, out_ref, *, hl, wl, rd, band):
         ybase = jnp.clip(
             jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band
         )
-        # rows needed: [floor(min)-R, floor(max)+R+1]; covered iff the top
-        # row fits inside the slab (ybase already covers the bottom, up to
-        # the clamp at 0 where nonexistent rows have zero weight anyway)
-        top = jnp.floor(y_max) + (RADIUS + 1)
+        # rows needed: [floor(min)-R, min(floor(max)+R+1, hl-1)] — rows
+        # beyond either plane edge have zero hat weight, so the top bound
+        # clamps at hl-1 (without the clamp, bottom-of-plane tiles would
+        # take the full-plane path on EVERY lookup); ybase already covers
+        # the bottom, up to the clamp at 0
+        top = jnp.minimum(jnp.floor(y_max) + (RADIUS + 1), hl - 1.0)
         covered = top <= (ybase + band - 1).astype(jnp.float32)
 
         def slab(_):
@@ -198,7 +200,7 @@ def _lookup_feats_kernel(iis_ref, jjs_ref, coords_ref, f1_ref, f2_ref,
         ybase = jnp.clip(
             jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band
         )
-        top = jnp.floor(y_max) + (RADIUS + 1)
+        top = jnp.minimum(jnp.floor(y_max) + (RADIUS + 1), hl - 1.0)
         covered = top <= (ybase + band - 1).astype(jnp.float32)
 
         def slab(_):
@@ -279,16 +281,20 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
     f1 = f1_ref[0]                              # (tile, C) bf16
     tile = f1.shape[0]
     f2_refs = (f20_ref, f21_ref, f22_ref, f23_ref)
+    w0 = dims[0][1]
 
     for lvl, (hl, wl) in enumerate(dims):
         f2 = f2_refs[lvl]
         inv = 1.0 / (2.0 ** lvl)
         x = coords_ref[0, 0, :][None, :] * inv
         y = coords_ref[0, 1, :][None, :] * inv
-        # the tile's raster footprint spans ceil(tile/wl) rows at this
-        # level; widen the slab so wide tiles (256/512 px) keep riding the
-        # banded fast path instead of falling back to the full plane
-        band_l = None if band is None else band + -(-(tile - 1) // wl)
+        # the tile holds LEVEL-0-consecutive pixels, so its raster footprint
+        # at this level spans ceil((tile-1) / (w0 * 2^lvl)) rows — widen the
+        # slab by that so wide tiles (256/512 px) keep riding the banded
+        # fast path. (Using this level's wl instead would overestimate the
+        # span 2^lvl-fold and disable the band at levels >= 1 entirely.)
+        band_l = (None if band is None
+                  else band + -(-(tile - 1) // (w0 * (2 ** lvl))))
 
         def corr_rows(row_lo, nrows, f2=f2, wl=wl):
             # banded path gated on wl % 8 == 0 so row_lo*wl stays
@@ -307,7 +313,7 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
             ybase = jnp.clip(
                 jnp.floor(y_min).astype(jnp.int32) - RADIUS, 0, hl - band_l
             )
-            top = jnp.floor(y_max) + (RADIUS + 1)
+            top = jnp.minimum(jnp.floor(y_max) + (RADIUS + 1), hl - 1.0)
             covered = top <= (ybase + band_l - 1).astype(jnp.float32)
 
             def slab(_, x=x, y=y, wl=wl, ybase=ybase, corr_rows=corr_rows,
@@ -392,6 +398,49 @@ def lookup_feats_pyramid_pallas(f1_store, f2_stores, iis, jjs, coords,
       *[s.astype(jnp.bfloat16) for s in f2_stores])
 
     return out.transpose(0, 2, 1)
+
+
+def band_coverage_stats(coords, dims, tile: int, band: int = BAND,
+                        radius: int = RADIUS):
+    """Fraction of (edge, tile) grid steps per pyramid level that would take
+    the banded FAST path of ``_lookup_feats_pyr_kernel`` (vs the exact
+    full-plane fallback). Host-side diagnostic — mirrors the kernel's
+    ``covered`` predicate bit for bit: per tile, with level coords
+    x,y = coords/2^lvl, ybase = clip(floor(min y)-R, 0, hl-band_l) and the
+    tile is covered iff min(floor(max y)+R+1, hl-1) <= ybase+band_l-1,
+    where band_l = band + ceil((tile-1)/(w0*2^lvl)) widens with the tile's
+    raster span at this level (the tile holds level-0-consecutive pixels).
+    Levels where the banded path is disabled (band_l >= hl or wl % 8 != 0)
+    report coverage 1.0 (the full plane IS the slab — no extra cost).
+
+    coords: (E, npix_pad, 2) level-0 coords as fed to the kernel (pads
+    included); dims: ((h0,w0),..,(h3,w3)); tile: pixels per grid step.
+    Returns {lvl: covered_fraction} plus 'n_tiles' (grid steps per level).
+    """
+    import numpy as np
+
+    c = np.nan_to_num(np.asarray(coords, np.float64))
+    E, npix_pad, _ = c.shape
+    if npix_pad % tile != 0:
+        raise ValueError(f"tile={tile} must divide npix_pad={npix_pad}")
+    n_tiles = npix_pad // tile
+    y0 = c[..., 1].reshape(E, n_tiles, tile)
+    out = {"n_tiles": E * n_tiles}
+    w0 = dims[0][1]
+    for lvl, (hl, wl) in enumerate(dims):
+        band_l = band + -(-(tile - 1) // (w0 * (2 ** lvl)))
+        if not (band_l < hl and wl % 8 == 0):
+            out[lvl] = 1.0
+            continue
+        y = y0 / (2.0 ** lvl)
+        y_min = y.min(axis=2)
+        y_max = y.max(axis=2)
+        ybase = np.clip(np.floor(y_min).astype(np.int64) - radius,
+                        0, hl - band_l)
+        covered = (np.minimum(np.floor(y_max) + (radius + 1), hl - 1.0)
+                   <= (ybase + band_l - 1).astype(np.float64))
+        out[lvl] = float(covered.mean())
+    return out
 
 
 def _lookup_kernel_slots(slots_ref, coords_ref, plane_ref, out_ref, *,
