@@ -17,6 +17,7 @@ Boundary semantics match the CUDA kernel: out-of-range taps contribute zero
 (hat weights vanish outside [0, size-1] by construction).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -26,6 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 RADIUS = 3
 PLANE = 128   # pixels per grid step (lane width)
+
+
+def auto_tile(npix_pad: int) -> int:
+    """Widest lookup tile (512/256/128) that divides ``npix_pad``, capped by
+    the GLORIE_MAX_TILE escape hatch. The ONE place tile selection lives:
+    the kernel's ``tile=0`` default and every host-side mirror
+    (scripts/band_fallback_probe.py) must route through it so a cap set via
+    the env var changes the kernel and its diagnostics in lockstep."""
+    max_tile = int(os.environ.get("GLORIE_MAX_TILE", 512))
+    return next(t for t in (512, 256, PLANE)
+                if t <= max_tile and npix_pad % t == 0)
 
 
 def _window_pass(plane, x, y, nrows, wl, rd, row0=None):
@@ -292,7 +304,9 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
         # at this level spans ceil((tile-1) / (w0 * 2^lvl)) rows — widen the
         # slab by that so wide tiles (256/512 px) keep riding the banded
         # fast path. (Using this level's wl instead would overestimate the
-        # span 2^lvl-fold and disable the band at levels >= 1 entirely.)
+        # span 4^lvl-fold — 2^lvl from wl = w0/2^lvl shrinking, times 2^lvl
+        # from y already being divided by 2^lvl — and disable the band at
+        # levels >= 1 entirely.)
         band_l = (None if band is None
                   else band + -(-(tile - 1) // (w0 * (2 ** lvl))))
 
@@ -362,7 +376,7 @@ def lookup_feats_pyramid_pallas(f1_store, f2_stores, iis, jjs, coords,
     if npix_pad % PLANE != 0:
         raise ValueError(f"npix={npix_pad} must be a multiple of {PLANE}")
     if tile == 0:
-        tile = next(t for t in (512, 256, PLANE) if npix_pad % t == 0)
+        tile = auto_tile(npix_pad)
     if npix_pad % tile != 0:
         raise ValueError(f"tile={tile} must divide npix_pad={npix_pad}")
 

@@ -61,9 +61,9 @@ def probe(traj, motion_scale, n_frames, H, W):
     h8, w8 = H // 8, W // 8
     npix = h8 * w8
     npix_pad = corr_mod.padded_npix(npix)
-    max_tile = int(os.environ.get("GLORIE_MAX_TILE", 512))
-    tile = next(t for t in (512, 256, 128)
-                if t <= max_tile and npix_pad % t == 0)
+    # the kernel's own tile choice (honors GLORIE_MAX_TILE) — scoring a
+    # different tile than the kernel runs would misreport coverage
+    tile = pallas_corr.auto_tile(npix_pad)
     dims = tuple((h8 // (2 ** l), w8 // (2 ** l)) for l in range(4))
 
     # running per-level tally over all keyframes
@@ -129,6 +129,7 @@ def main():
     out = {"platform": jax.devices()[0].platform, "runs": runs}
     path = os.path.join(os.path.dirname(__file__), "..", "logs",
                         "band_fallback_r03.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

@@ -35,9 +35,12 @@ def test_smooth_grid_fully_covered():
     st = pallas_corr.band_coverage_stats(c, DIMS, TILE)
     # level 0: a 128-px tile spans 2 rows of a 64-wide grid; band covers it
     assert st[0] == 1.0
-    # level 1: band_l = 12 + ceil(127/32) = 16 >= hl=16 -> banded path
-    # disabled, reported as fully covered (full plane IS the slab)
+    # level 1: band_l = 12 + ceil(127/(64*2)) = 13 < hl=16 -> banded path
+    # ENABLED; the identity grid is genuinely fully covered via the slab
     assert st[1] == 1.0
+    # level 2: band_l = 12 + ceil(127/(64*4)) = 13 >= hl=8 -> banded path
+    # disabled, reported as fully covered (full plane IS the slab)
+    assert st[2] == 1.0
     assert st["n_tiles"] == 3 * (npix_pad // TILE)
 
 

@@ -343,12 +343,18 @@ import pytest
 @pytest.mark.parametrize("h0,w0,tile_mult", [
     (32, 32, 512),   # Replica-bench-like: 512-px tiles, banded at level 0
     (30, 40, 256),   # ScanNet endurance geometry: npix 1200 -> 1280, 256px
+    (48, 32, 512),   # level-1 slab: band_l = 12+ceil(511/64) = 20 < hl=24
 ])
 def test_feats_pyramid_kernel_wide_tile_banded(h0, w0, tile_mult):
     """Wide-tile configurations the production pipeline runs: the padded
     pixel dim selects 512/256-px tiles and level 0 stays on the banded slab
     fast path (band 12 + ceil((tile-1)/wl) < hl). Must equal the per-level
-    XLA fallback."""
+    XLA fallback.
+
+    The (48, 32) case is the regression guard for the per-level band_l
+    formula (band + ceil((tile-1)/(w0*2^lvl))): level 1 PROVABLY takes the
+    in-kernel slab path there (band_l=20 < hl=24, wl=16 % 8 == 0), which no
+    other geometry in the suite exercises."""
     from glorie_slam_tpu.ops import pallas_corr
 
     rng = np.random.default_rng(17)
@@ -374,6 +380,17 @@ def test_feats_pyramid_kernel_wide_tile_banded(h0, w0, tile_mult):
     cc = coords.reshape(2, npix, 2)
     cpad = jnp.concatenate(
         [cc, jnp.zeros((2, npix_pad - npix, 2))], axis=1)
+    if h0 == 48:
+        # prove level 1 actually takes the banded slab path here: the band
+        # is ENABLED (band_l < hl, wl sublane-aligned) and the smooth-flow
+        # real tiles are covered (only the zero-padded tail tile falls back)
+        tile = pallas_corr.auto_tile(npix_pad)
+        band_l1 = pallas_corr.BAND + -(-(tile - 1) // (w0 * 2))
+        h1, w1 = dims[1]
+        assert band_l1 < h1 and w1 % 8 == 0
+        st = pallas_corr.band_coverage_stats(np.asarray(cpad), dims, tile)
+        n_tiles = 2 * (npix_pad // tile)
+        assert st[1] >= (n_tiles - 2) / n_tiles
     out = pallas_corr.lookup_feats_pyramid_pallas(
         pyr[0], stores, iis, jjs, cpad, dims, interpret=True)[:, :npix]
     np.testing.assert_allclose(
