@@ -386,12 +386,44 @@ def _stable_caps(graph):
     return E_cap, span_cap
 
 
-def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=64):
+def _sticky(video, site, name, val, cap=0):
+    """Grow-only high-water bucket shared across graph recreations.
+
+    The config ceilings (bucket(max_factors) for the edge axis, a 64 floor
+    for the adjacency degree) pinned ONE executable per run but padded the
+    hot program 2-4x past the sizes a steady-state graph actually reaches
+    (measured on the Replica bench: E 40-66 padded to 128, degree 16 padded
+    to 64; the loop-closure graph pads ~55 edges to bucket(8*window) = 256).
+    Instead, pad each axis to the LARGEST bucket it has needed so far: the
+    key still never oscillates (a sticky maximum only grows — the original
+    motivation for the floors), each growth rung compiles once (persistent
+    cache + utils/warmup.py make that a one-time cost), and the steady
+    state runs at the sizes the trajectory actually produces.
+
+    High-waters live on the VIDEO (keyed by call site), so the backend's
+    per-call FactorGraph recreations (backend.py loop_ba) share one ladder.
+    ``cap``: optional ceiling (the old cap value) so a pathological burst
+    can never exceed the previously-guaranteed shape."""
+    hw = getattr(video, "_shape_hw", None)
+    if hw is None:
+        hw = video._shape_hw = {}
+    key = (site, name)
+    out = max(val, hw.get(key, 0))
+    if cap:
+        out = min(out, max(cap, val))
+    hw[key] = out
+    return out
+
+
+def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=16,
+              site=None):
     """Build the per-version padded device state + packed uploads."""
     v = graph.video
     E_cap, span_cap = _stable_caps(graph)
+    if site is None:
+        site = ("inactive" if use_inactive else "plain", dmax_floor)
     E = len(graph.ii)
-    E_pad = max(bucket(E), E_cap)
+    E_pad = _sticky(v, site, "E_pad", bucket(E), cap=E_cap)
     net, inp, target, ii_p, jj_p = graph._pad_edge_arrays(E_pad)
 
     kx, kk = np.unique(graph.ii, return_inverse=True)
@@ -463,13 +495,15 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=64):
     kbase_pd = max(0, min(kbase_pd, v.buffer - K_pd))
     P_max = min(max(bucket(max(t1 - t0, 1)), span_cap), v.buffer)
     deg = int(np.bincount(comb_ii - kbase_pd, minlength=1).max())
-    # frontend floor 64 in steady state: per-frame degree hovers around the
-    # 24/32/48 bucket edges frame-to-frame, and each crossing would be a
-    # fresh minutes-long compile of the fused program. Backend callers pass
-    # a smaller floor (their K window spans the whole trajectory, and the
-    # Schur coupling rows scale as K * Dmax * npix — a 64 floor there
-    # costs GBs of HBM for single-digit real degrees).
-    Dmax = max(bucket(deg), dmax_floor if span_cap else 0)
+    # sticky degree bucket: the per-frame degree hovers around bucket edges
+    # frame-to-frame, but a grow-only high-water never oscillates, so the
+    # old blanket 64 floor (4x the degree a steady frontend graph actually
+    # reaches — the Schur coupling rows scale as K * Dmax * npix) is
+    # replaced by the observed maximum. ``dmax_floor`` seeds the ladder so
+    # windowed configs start at the degree the proposal pattern converges
+    # to (measured 16 on the Replica bench) instead of walking 8 -> 16.
+    Dmax = _sticky(v, site, "Dmax",
+                   max(bucket(deg), dmax_floor if span_cap else 0))
     adj, adj_mask = ba_mod.build_adjacency(ii_ba, EB, kbase_pd, K_pd, Dmax)
 
     ba_frame_mask = np.zeros(v.buffer, np.float32)
@@ -499,7 +533,7 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=64):
 
 def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
                         use_inactive=True, EP=1e-7, alternate=True,
-                        lm=1e-4, ep=0.1, dmax_floor=64):
+                        lm=1e-4, ep=0.1, dmax_floor=16, site=None):
     """Host wrapper: assemble padded state once per graph version, run
     ``rounds`` fused DSPO iterations, write results back into graph/video.
 
@@ -518,7 +552,8 @@ def graph_update_rounds(graph, rounds: int, t0=None, t1=None, itrs=2,
     key = (graph.version, t0, t1, bool(use_inactive))
     cache = getattr(graph, "_fused_cache", None)
     if cache is None or cache["key"] != key:
-        st = _assemble(graph, t0, t1, use_inactive)
+        st = _assemble(graph, t0, t1, use_inactive, dmax_floor=dmax_floor,
+                       site=site)
         cache = {"key": key, "st": st}
         graph._fused_cache = cache
     st = cache["st"]

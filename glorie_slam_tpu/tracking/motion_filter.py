@@ -93,6 +93,11 @@ class MotionFilter:
         dispatch latency per frame)."""
         if self.video.counter == 0 or self.fmap is None:
             return
+        # upload once: the SAME device buffer feeds the flow probe here and
+        # the admission append in ``track`` (jnp.asarray is a no-op on a
+        # committed device array) — the eager re-upload of the 2.4 MB frame
+        # cost a second host->device copy per admitted frame
+        image = jnp.asarray(image)
         out = _encode_and_flow(
             self.tn.features_apply, self.tn.update_apply,
             self.tn.params, image, self.fmap, self.net, self.inp,
@@ -104,7 +109,7 @@ class MotionFilter:
             out[1].copy_to_host_async()
         except AttributeError:
             pass
-        self._pending = (tstamp, out)
+        self._pending = (tstamp, out, image)
 
     def track(self, tstamp, image, intrinsics):
         """image: (H, W, 3) float in [0,1]; intrinsics: full-res [fx,fy,cx,cy].
@@ -117,6 +122,7 @@ class MotionFilter:
             delta_norm = None
         elif self._pending is not None and self._pending[0] == tstamp:
             gmap, delta_norm = self._pending[1]
+            image = self._pending[2]    # already on device (see prefetch)
             self._pending = None
         else:
             self._pending = None
