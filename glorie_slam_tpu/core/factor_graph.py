@@ -16,7 +16,7 @@ import numpy as np
 
 from ..geom import projective
 from ..ops import corr as corr_mod
-from ..utils.buckets import bucket
+from ..utils.buckets import bucket, sticky_bucket
 
 
 @partial(jax.jit,
@@ -74,11 +74,26 @@ def _frame_rows_write(arr, dst, vals, valid):
 @jax.jit
 def _rows_write(arr, dst, vals, valid):
     """arr[dst] <- vals where valid (duplicate-safe masked delta
-    scatter-add: pad rows carry a zero delta)."""
+    scatter-add: pad rows carry a zero delta).
+
+    EXACTNESS INVARIANT: rows past the live edge count are kept at ZERO by
+    every compaction (_zero_tail_perm) and by the capacity growers, so an
+    append's delta-add is ``vals - 0`` — the written value lands bitwise,
+    independent of write history. (A scatter-SET formulation is exact
+    without the invariant but measured ~30% slower on the per-frame
+    maintenance path: TPU lowers the duplicate-index set to a serialized
+    deterministic scatter, while the add keeps the fast combining path.)"""
     delta = jnp.where(
         valid[:, None, None, None] > 0,
         vals.astype(arr.dtype) - arr[dst], 0).astype(arr.dtype)
     return arr.at[dst].add(delta)
+
+
+def _zero_tail_perm(x, perm, n_keep):
+    """x[perm] with rows >= n_keep forced to zero (see _rows_write)."""
+    keep = (jnp.arange(x.shape[0]) < n_keep)
+    return jnp.where(
+        keep.reshape((-1,) + (1,) * (x.ndim - 1)), x[perm], 0)
 
 
 @jax.jit
@@ -103,20 +118,87 @@ def _add_rows_fused(nets, inps, poses, disps, intrinsics,
 
 @jax.jit
 def _rm_rows_fused(target_inac, weight_inac, net, inp, target, weight,
-                   src_d, dst_d, valid, perm_d):
+                   src_d, dst_d, valid, perm_d, n_keep):
     """Device part of ``rm_factors(store=True)`` as ONE dispatch: copy the
     dropped edges' target/weight rows into the inactive pool, then compact
-    the four active capacity buffers with the keep-permutation."""
+    the four active capacity buffers with the keep-permutation
+    (zero-tailed; see _rows_write)."""
     target_inac = _rows_write(target_inac, dst_d, target[src_d], valid)
     weight_inac = _rows_write(weight_inac, dst_d, weight[src_d], valid)
     return (target_inac, weight_inac,
-            net[perm_d], inp[perm_d], target[perm_d], weight[perm_d])
+            _zero_tail_perm(net, perm_d, n_keep),
+            _zero_tail_perm(inp, perm_d, n_keep),
+            _zero_tail_perm(target, perm_d, n_keep),
+            _zero_tail_perm(weight, perm_d, n_keep))
 
 
 @jax.jit
-def _perm_rows_fused(net, inp, target, weight, perm_d):
-    """Device part of ``rm_factors(store=False)``: one fused compaction."""
-    return net[perm_d], inp[perm_d], target[perm_d], weight[perm_d]
+def _perm_rows_fused(net, inp, target, weight, perm_d, n_keep):
+    """Device part of ``rm_factors(store=False)``: one fused zero-tailed
+    compaction."""
+    return (_zero_tail_perm(net, perm_d, n_keep),
+            _zero_tail_perm(inp, perm_d, n_keep),
+            _zero_tail_perm(target, perm_d, n_keep),
+            _zero_tail_perm(weight, perm_d, n_keep))
+
+
+@jax.jit
+def _pool_perm_fused(tgt, wgt, perm_d, n_keep):
+    """Zero-tailed compaction of the inactive pool (rm_keyframe)."""
+    return (_zero_tail_perm(tgt, perm_d, n_keep),
+            _zero_tail_perm(wgt, perm_d, n_keep))
+
+
+@partial(jax.jit, static_argnames=("kpad_rm", "kpad_add", "cap"))
+def _maintain_rows_fused(nets, inps, poses, disps, intrinsics,
+                         net, inp, target, weight, tgt_inac, wgt_inac,
+                         ints, *, kpad_rm: int, kpad_add: int, cap: int):
+    """The whole per-frame edge maintenance as ONE dispatch: store the
+    removed edges' target/weight into the inactive pool, compact the active
+    capacity buffers, then gather + reproject + append the new edges.
+
+    The steady frontend frame used to pay three dispatches and ~12 small
+    uploads for this (rm-by-age, eviction, add — each a separate eager
+    step; on the remote-device transport every upload/dispatch costs
+    single-digit ms of submit latency). ``ints`` packs every index array in
+    one int32 upload:
+      [src(kpad_rm) | dst_pool(kpad_rm) | perm(cap) |
+       ii(kpad_add) | jj(kpad_add) | dst_act(kpad_add) |
+       k_rm, k_add, n_keep].
+    Validity masks derive from k_rm/k_add in-program; zero-count calls are
+    exact no-ops on the buffers."""
+    o = 0
+
+    def take(n):
+        nonlocal o
+        v = jax.lax.slice(ints, (o,), (o + n,))
+        o += n
+        return v
+
+    src = take(kpad_rm)
+    dst_pool = take(kpad_rm)
+    perm = take(cap)
+    ii_d = take(kpad_add)
+    jj_d = take(kpad_add)
+    dst_act = take(kpad_add)
+    k_rm, k_add, n_keep = take(1)[0], take(1)[0], take(1)[0]
+
+    valid_rm = (jnp.arange(kpad_rm) < k_rm).astype(jnp.float32)
+    valid_add = (jnp.arange(kpad_add) < k_add).astype(jnp.float32)
+
+    tgt_inac = _rows_write(tgt_inac, dst_pool, target[src], valid_rm)
+    wgt_inac = _rows_write(wgt_inac, dst_pool, weight[src], valid_rm)
+    net = _zero_tail_perm(net, perm, n_keep)
+    inp = _zero_tail_perm(inp, perm, n_keep)
+    target = _zero_tail_perm(target, perm, n_keep)
+    weight = _zero_tail_perm(weight, perm, n_keep)
+    t_new, _ = projective.projective_transform(
+        poses, disps, intrinsics, ii_d, jj_d)
+    net = _rows_write(net, dst_act, nets[ii_d], valid_add)
+    inp = _rows_write(inp, dst_act, inps[ii_d], valid_add)
+    target = _rows_write(target, dst_act, t_new, valid_add)
+    weight = _rows_write(weight, dst_act, jnp.zeros_like(t_new), valid_add)
+    return net, inp, target, weight, tgt_inac, wgt_inac
 
 
 class FactorGraph:
@@ -188,7 +270,13 @@ class FactorGraph:
         self.cap = new_cap
 
     def _grow_pool(self, need):
-        new_cap = bucket(need)
+        # coarse doubling ladder from 128: the inactive pool grows by ~10
+        # edges per steady frontend frame, and every capacity rung
+        # recompiles each program whose operands include the pool buffers
+        # (maintain, the rm store, the _assemble row gather) — the fine
+        # bucket ladder crossed a rung every 2-4 frames, stalling ~2-4 s of
+        # remote compile each time. 6 rungs cover a full ScanNet run.
+        new_cap = 128 if need <= 128 else 1 << (need - 1).bit_length()
         if new_cap <= self.pool_cap:
             return
         pad = new_cap - self.pool_cap
@@ -244,7 +332,7 @@ class FactorGraph:
         # lookup_pyramid_feats) — adding/removing edges touches nothing
 
         k = len(ii)
-        kpad = bucket(k)
+        kpad = sticky_bucket(self.video, "add_factors", "kpad", bucket(k))
         ii_p = np.concatenate([ii, np.zeros(kpad - k, np.int64)])
         jj_p = np.concatenate([jj, np.zeros(kpad - k, np.int64)])
         ii_d = jnp.asarray(ii_p, jnp.int32)
@@ -266,6 +354,84 @@ class FactorGraph:
             ii_d, jj_d, dst_d, valid)
         self.E = len(self.ii)
 
+    def maintain(self, pre_rm_mask, ii, jj):
+        """Per-frame edge maintenance — rm-by-age + dedup + eviction +
+        append — with ONE device dispatch (_maintain_rows_fused).
+
+        Semantically equal to ``rm_factors(pre_rm_mask, store=True)``
+        followed by ``add_factors(ii, jj, remove=True)``: the dedup filter
+        checks active ∪ inactive, and edges removed here land in the
+        inactive pool either way, so filtering against the pre-removal
+        sets gives the same edge set."""
+        self.version += 1
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+        ii, jj = self._filter_repeated_edges(ii, jj)
+        E_old = len(self.ii)
+        rm = (np.asarray(pre_rm_mask, bool).copy()
+              if pre_rm_mask is not None else np.zeros(E_old, bool))
+        k_new = len(ii)
+        # eviction caps the post-removal count (reference
+        # factor_graph.py:112-116); like add_factors it only applies when
+        # something is actually being added
+        if (self.max_factors > 0 and self.corr_impl == "volume"
+                and E_old > 0 and k_new > 0):
+            n_drop = (E_old - int(rm.sum())) + k_new - self.max_factors
+            if n_drop > 0:
+                order = np.argsort(self.age)[::-1]   # oldest first
+                order = order[~rm[order]]
+                rm[order[:n_drop]] = True
+        ks = int(rm.sum())
+        if ks == 0 and k_new == 0:
+            return
+        keep_idx = np.where(~rm)[0]
+        st_idx = np.where(rm)[0]
+        n_keep = len(keep_idx)
+
+        EI_old = len(self.ii_inac)
+        self.ii_inac = np.concatenate([self.ii_inac, self.ii[rm]])
+        self.jj_inac = np.concatenate([self.jj_inac, self.jj[rm]])
+        self._grow_pool(EI_old + ks)
+        self.ii = np.concatenate([self.ii[~rm], ii])
+        self.jj = np.concatenate([self.jj[~rm], jj])
+        self.age = np.concatenate(
+            [self.age[~rm], np.zeros(k_new, np.int64)])
+        self._grow_active(n_keep + k_new)
+
+        # sticky kpads: the rm/add counts vary frame to frame and each
+        # (kpad_rm, kpad_add, cap, pool_cap) combination is a fresh compile
+        # of the maintenance program (~2-4 s on a remote transport); the
+        # grow-only high-water collapses the combinations to one per
+        # capacity rung after the first few frames
+        kpad_rm = sticky_bucket(self.video, "maintain", "kpad_rm",
+                                bucket(max(ks, 1)))
+        kpad_add = sticky_bucket(self.video, "maintain", "kpad_add",
+                                 bucket(max(k_new, 1)))
+        cap = self.cap
+        src = np.zeros(kpad_rm, np.int64)
+        src[:ks] = st_idx
+        dstp = np.zeros(kpad_rm, np.int64)
+        dstp[:ks] = EI_old + np.arange(ks)
+        perm = np.zeros(cap, np.int64)
+        perm[:n_keep] = keep_idx
+        iia = np.zeros(kpad_add, np.int64)
+        iia[:k_new] = ii
+        jja = np.zeros(kpad_add, np.int64)
+        jja[:k_new] = jj
+        dsta = np.zeros(kpad_add, np.int64)
+        dsta[:k_new] = n_keep + np.arange(k_new)
+        ints = np.concatenate(
+            [src, dstp, perm, iia, jja, dsta,
+             np.array([ks, k_new, n_keep], np.int64)]).astype(np.int32)
+        v = self.video
+        (self.net, self.inp, self.target, self.weight,
+         self.target_inac, self.weight_inac) = _maintain_rows_fused(
+            v.nets, v.inps, v.poses, v.disps, v.intrinsics,
+            self.net, self.inp, self.target, self.weight,
+            self.target_inac, self.weight_inac,
+            jnp.asarray(ints), kpad_rm=kpad_rm, kpad_add=kpad_add, cap=cap)
+        self.E = len(self.ii)
+
     def rm_factors(self, mask, store=False):
         """Remove edges; optionally store into the inactive pool
         (reference factor_graph.py:146-170)."""
@@ -282,7 +448,8 @@ class FactorGraph:
         if store:
             st_idx = np.where(mask)[0]
             ks = len(st_idx)
-            kpad = bucket(ks)
+            kpad = sticky_bucket(self.video, "rm_factors", "kpad",
+                                 bucket(ks))
             src = np.concatenate([st_idx, np.zeros(kpad - ks)])
             src_d = jnp.asarray(src, jnp.int32)
             EI_old = len(self.ii_inac)
@@ -296,10 +463,12 @@ class FactorGraph:
             (self.target_inac, self.weight_inac, self.net, self.inp,
              self.target, self.weight) = _rm_rows_fused(
                 self.target_inac, self.weight_inac, self.net, self.inp,
-                self.target, self.weight, src_d, dst_d, valid, perm_d)
+                self.target, self.weight, src_d, dst_d, valid, perm_d,
+                jnp.int32(len(keep_idx)))
         else:
             self.net, self.inp, self.target, self.weight = _perm_rows_fused(
-                self.net, self.inp, self.target, self.weight, perm_d)
+                self.net, self.inp, self.target, self.weight, perm_d,
+                jnp.int32(len(keep_idx)))
         self.ii, self.jj, self.age = (
             self.ii[keep], self.jj[keep], self.age[keep]
         )
@@ -321,8 +490,9 @@ class FactorGraph:
             perm = np.concatenate(
                 [keep_idx, np.zeros(self.pool_cap - len(keep_idx))])
             perm_d = jnp.asarray(perm, jnp.int32)
-            self.target_inac = self.target_inac[perm_d]
-            self.weight_inac = self.weight_inac[perm_d]
+            self.target_inac, self.weight_inac = _pool_perm_fused(
+                self.target_inac, self.weight_inac, perm_d,
+                jnp.int32(len(keep_idx)))
 
         m = (self.ii == ix) | (self.jj == ix)
         self.ii[self.ii >= ix] -= 1
@@ -575,17 +745,23 @@ class FactorGraph:
         return (t0, t1, beta, dev, E)
 
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
-                              thresh=16.0, remove=False, d_pre=None):
+                              thresh=16.0, remove=False, d_pre=None,
+                              pre_rm_mask=None):
         """Distance-sorted greedy proposal with NMS (factor_graph.py:323-383).
 
         The greedy NMS sweep runs in the native C++ extension when available
         (glorie_slam_tpu/native), falling back to the Python loops.
         ``d_pre``: handle from ``dispatch_proximity_distance`` (same
-        t0/t1/beta) to consume instead of a fresh blocking dispatch."""
+        t0/t1/beta) to consume instead of a fresh blocking dispatch.
+        ``pre_rm_mask``: active-edge removal mask (the frontend's rm-by-age)
+        folded into the SAME fused maintenance dispatch as the proposal's
+        eviction + append (see ``maintain``)."""
         t = self.video.counter
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         if len(ix) == 0 or len(jx) == 0:
+            if pre_rm_mask is not None and pre_rm_mask.any():
+                self.rm_factors(pre_rm_mask, store=True)
             return
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
@@ -605,9 +781,16 @@ class FactorGraph:
         )
         if nat is not None:
             n_ii, n_jj = nat
-            if len(n_ii):
+            if pre_rm_mask is not None:
+                self.maintain(pre_rm_mask, n_ii, n_jj)
+            elif len(n_ii):
                 self.add_factors(n_ii, n_jj, remove)
             return
+
+        if pre_rm_mask is not None and pre_rm_mask.any():
+            # python fallback: restore the original rm-then-add order (the
+            # removed edges keep suppressing below via the inactive pool)
+            self.rm_factors(pre_rm_mask, store=True)
 
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf

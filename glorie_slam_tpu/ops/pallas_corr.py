@@ -40,6 +40,22 @@ def auto_tile(npix_pad: int) -> int:
                 if t <= max_tile and npix_pad % t == 0)
 
 
+def band_rows(band: int, tile: int, w0: int, lvl: int) -> int:
+    """Slab rows for a ``tile``-pixel grid step at pyramid level ``lvl``.
+
+    The ONE place the per-level band width lives — the pyramid kernel, the
+    band_coverage_stats diagnostic, and the tests must all route through it.
+    ``band`` historically covered a 128-px tile: 7 hat rows + 2 raster rows
+    + flow slack. The explicit span term ceil((tile-1)/(w0*2^lvl)) covers
+    the actual raster footprint (level-0-consecutive pixels; y is already
+    divided by 2^lvl, hence w0, not this level's wl — using wl would
+    overestimate 4^lvl-fold), so the 2-row 128-px allowance inside ``band``
+    is subtracted to avoid counting the span twice (-2 rows of stage-1
+    reduction per tile at every level; slack stays 2 rows at any tile
+    width, and escapes still take the EXACT full-plane fallback)."""
+    return (band - 2) + -(-(tile - 1) // (w0 * (2 ** lvl)))
+
+
 def _window_pass(plane, x, y, nrows, wl, rd, row0=None):
     """Both hat-reduction stages over a ``nrows``-row slab.
 
@@ -300,15 +316,8 @@ def _lookup_feats_pyr_kernel(iis_ref, jjs_ref, coords_ref, f1_ref,
         inv = 1.0 / (2.0 ** lvl)
         x = coords_ref[0, 0, :][None, :] * inv
         y = coords_ref[0, 1, :][None, :] * inv
-        # the tile holds LEVEL-0-consecutive pixels, so its raster footprint
-        # at this level spans ceil((tile-1) / (w0 * 2^lvl)) rows — widen the
-        # slab by that so wide tiles (256/512 px) keep riding the banded
-        # fast path. (Using this level's wl instead would overestimate the
-        # span 4^lvl-fold — 2^lvl from wl = w0/2^lvl shrinking, times 2^lvl
-        # from y already being divided by 2^lvl — and disable the band at
-        # levels >= 1 entirely.)
         band_l = (None if band is None
-                  else band + -(-(tile - 1) // (w0 * (2 ** lvl))))
+                  else band_rows(band, tile, w0, lvl))
 
         def corr_rows(row_lo, nrows, f2=f2, wl=wl):
             # banded path gated on wl % 8 == 0 so row_lo*wl stays
@@ -422,7 +431,7 @@ def band_coverage_stats(coords, dims, tile: int, band: int = BAND,
     ``covered`` predicate bit for bit: per tile, with level coords
     x,y = coords/2^lvl, ybase = clip(floor(min y)-R, 0, hl-band_l) and the
     tile is covered iff min(floor(max y)+R+1, hl-1) <= ybase+band_l-1,
-    where band_l = band + ceil((tile-1)/(w0*2^lvl)) widens with the tile's
+    where band_l = band_rows(band, tile, w0, lvl) widens with the tile's
     raster span at this level (the tile holds level-0-consecutive pixels).
     Levels where the banded path is disabled (band_l >= hl or wl % 8 != 0)
     report coverage 1.0 (the full plane IS the slab — no extra cost).
@@ -442,7 +451,7 @@ def band_coverage_stats(coords, dims, tile: int, band: int = BAND,
     out = {"n_tiles": E * n_tiles}
     w0 = dims[0][1]
     for lvl, (hl, wl) in enumerate(dims):
-        band_l = band + -(-(tile - 1) // (w0 * (2 ** lvl)))
+        band_l = band_rows(band, tile, w0, lvl)
         if not (band_l < hl and wl % 8 == 0):
             out[lvl] = 1.0
             continue

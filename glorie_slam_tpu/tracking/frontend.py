@@ -61,14 +61,16 @@ class Frontend:
         d_prox = self.graph.dispatch_proximity_distance(
             self.t1 - 5, max(self.t1 - self.frontend_window, 0), self.beta)
 
-        if len(self.graph.ii) > 0:
-            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
-
+        # rm-by-age rides the SAME fused maintenance dispatch as the
+        # proposal's eviction + append (FactorGraph.maintain): one device
+        # program instead of three eager rm/evict/add steps per frame
+        age_mask = (self.graph.age > self.max_age
+                    if len(self.graph.ii) > 0 else None)
         self.graph.add_proximity_factors(
             self.t1 - 5, max(self.t1 - self.frontend_window, 0),
             rad=self.frontend_radius, nms=self.frontend_nms,
             thresh=self.frontend_thresh, beta=self.beta, remove=True,
-            d_pre=d_prox,
+            d_pre=d_prox, pre_rm_mask=age_mask,
         )
 
         # all iters1 DSPO rounds (pose_depth/depth_scale alternation) run as

@@ -34,7 +34,7 @@ from ..core.factor_graph import _graph_update_step
 from ..geom import alignment, ba as ba_mod
 from ..ops import corr as corr_mod, depth_filter as df_mod, \
     distance as dist_mod, upsample as up_mod
-from ..utils.buckets import bucket
+from ..utils.buckets import bucket, sticky_bucket
 
 
 @partial(
@@ -386,33 +386,13 @@ def _stable_caps(graph):
     return E_cap, span_cap
 
 
-def _sticky(video, site, name, val, cap=0):
-    """Grow-only high-water bucket shared across graph recreations.
-
-    The config ceilings (bucket(max_factors) for the edge axis, a 64 floor
-    for the adjacency degree) pinned ONE executable per run but padded the
-    hot program 2-4x past the sizes a steady-state graph actually reaches
-    (measured on the Replica bench: E 40-66 padded to 128, degree 16 padded
-    to 64; the loop-closure graph pads ~55 edges to bucket(8*window) = 256).
-    Instead, pad each axis to the LARGEST bucket it has needed so far: the
-    key still never oscillates (a sticky maximum only grows — the original
-    motivation for the floors), each growth rung compiles once (persistent
-    cache + utils/warmup.py make that a one-time cost), and the steady
-    state runs at the sizes the trajectory actually produces.
-
-    High-waters live on the VIDEO (keyed by call site), so the backend's
-    per-call FactorGraph recreations (backend.py loop_ba) share one ladder.
-    ``cap``: optional ceiling (the old cap value) so a pathological burst
-    can never exceed the previously-guaranteed shape."""
-    hw = getattr(video, "_shape_hw", None)
-    if hw is None:
-        hw = video._shape_hw = {}
-    key = (site, name)
-    out = max(val, hw.get(key, 0))
-    if cap:
-        out = min(out, max(cap, val))
-    hw[key] = out
-    return out
+# Grow-only high-water buckets (utils/buckets.sticky_bucket): the config
+# ceilings (bucket(max_factors) for the edge axis, a 64 floor for the
+# adjacency degree) padded the hot program 2-4x past the sizes a
+# steady-state graph actually reaches (measured on the Replica bench:
+# E 40-66 padded to 128, degree 16 padded to 64; the loop-closure graph
+# padded ~55 edges to bucket(8*window) = 256).
+_sticky = sticky_bucket
 
 
 def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=16,

@@ -18,3 +18,29 @@ def bucket(n: int, ladder=_LADDER) -> int:
         if n <= b:
             return b
     raise ValueError(f"size {n} exceeds the largest bucket {ladder[-1]}")
+
+
+def sticky_bucket(video, site, name, val, cap=0):
+    """Grow-only high-water bucket shared across graph recreations.
+
+    Config-derived ceilings pin ONE executable per run but pad hot programs
+    far past the sizes a steady-state graph actually reaches; exact
+    per-call buckets oscillate and recompile. A sticky maximum does
+    neither: pad each axis to the LARGEST bucket it has needed so far —
+    the jit key only ever grows (each rung compiles once; the persistent
+    cache and utils/warmup.py make that a one-time cost) and the steady
+    state runs at the sizes the trajectory actually produces.
+
+    High-waters live on the VIDEO (keyed by ``(site, name)``), so
+    per-call FactorGraph recreations (backend.py loop_ba) share one
+    ladder. ``cap``: optional ceiling (the old cap value) so a
+    pathological burst can never exceed the previously-guaranteed shape."""
+    hw = getattr(video, "_shape_hw", None)
+    if hw is None:
+        hw = video._shape_hw = {}
+    key = (site, name)
+    out = max(val, hw.get(key, 0))
+    if cap:
+        out = min(out, max(cap, val))
+    hw[key] = out
+    return out

@@ -123,3 +123,16 @@ def warm_ladder(slam, max_keyframes, printer=None):
     log("[warm] full-res mask refresh")
     video.dirty[:video.counter] = True
     _ = video.valid_depth_mask
+
+    # hand the ghost's sticky shape high-waters (utils/buckets.sticky_bucket:
+    # E_pad / Dmax / kpad ladders) to the REAL video: the real run then
+    # starts at the rungs the ghost already compiled instead of re-walking
+    # the growth ladder through fresh (cache-hit but still dispatch-stalling)
+    # shape keys
+    hw = getattr(video, "_shape_hw", None)
+    if hw:
+        real_hw = getattr(slam.video, "_shape_hw", None)
+        if real_hw is None:
+            real_hw = slam.video._shape_hw = {}
+        for k, v in hw.items():
+            real_hw[k] = max(real_hw.get(k, 0), v)

@@ -35,10 +35,10 @@ def test_smooth_grid_fully_covered():
     st = pallas_corr.band_coverage_stats(c, DIMS, TILE)
     # level 0: a 128-px tile spans 2 rows of a 64-wide grid; band covers it
     assert st[0] == 1.0
-    # level 1: band_l = 12 + ceil(127/(64*2)) = 13 < hl=16 -> banded path
+    # level 1: band_l = band_rows(12,128,64,1) = 11 < hl=16 -> banded path
     # ENABLED; the identity grid is genuinely fully covered via the slab
     assert st[1] == 1.0
-    # level 2: band_l = 12 + ceil(127/(64*4)) = 13 >= hl=8 -> banded path
+    # level 2: band_l = band_rows(12,128,64,2) = 11 >= hl=8 -> banded path
     # disabled, reported as fully covered (full plane IS the slab)
     assert st[2] == 1.0
     assert st["n_tiles"] == 3 * (npix_pad // TILE)
@@ -55,7 +55,7 @@ def test_escaping_tile_counted():
     assert abs(st[0] - (1.0 - 1.0 / n_tiles)) < 1e-9
     # a 20-row level-0 flow is a 10-row level-1 flow — still past the band
     assert abs(st[1] - (1.0 - 1.0 / n_tiles)) < 1e-9
-    # level 2: band_l = 13 >= hl=8 -> banded path disabled -> 1.0
+    # level 2: band_l = 11 >= hl=8 -> banded path disabled -> 1.0
     assert st[2] == 1.0
 
 
@@ -64,7 +64,7 @@ def test_band_edge_exact_boundary():
     hl, wl = 64, 64
     dims = ((hl, wl),) * 4
     tile = 128
-    band_l = pallas_corr.BAND + -(-(tile - 1) // wl)  # 12 + 2 = 14
+    band_l = pallas_corr.band_rows(pallas_corr.BAND, tile, wl, 0)  # 10 + 2 = 12
     rd = pallas_corr.RADIUS
     npix_pad = tile  # a single tile
     # all pixels at y0; ybase = y0 - R (unclamped region)

@@ -343,16 +343,16 @@ import pytest
 @pytest.mark.parametrize("h0,w0,tile_mult", [
     (32, 32, 512),   # Replica-bench-like: 512-px tiles, banded at level 0
     (30, 40, 256),   # ScanNet endurance geometry: npix 1200 -> 1280, 256px
-    (48, 32, 512),   # level-1 slab: band_l = 12+ceil(511/64) = 20 < hl=24
+    (48, 32, 512),   # level-1 slab: band_l = 10+ceil(511/64) = 18 < hl=24
 ])
 def test_feats_pyramid_kernel_wide_tile_banded(h0, w0, tile_mult):
     """Wide-tile configurations the production pipeline runs: the padded
     pixel dim selects 512/256-px tiles and level 0 stays on the banded slab
-    fast path (band 12 + ceil((tile-1)/wl) < hl). Must equal the per-level
+    fast path (band_rows(12, tile, w0, 0) < hl). Must equal the per-level
     XLA fallback.
 
     The (48, 32) case is the regression guard for the per-level band_l
-    formula (band + ceil((tile-1)/(w0*2^lvl))): level 1 PROVABLY takes the
+    formula (band_rows, pallas_corr.py): level 1 PROVABLY takes the
     in-kernel slab path there (band_l=20 < hl=24, wl=16 % 8 == 0), which no
     other geometry in the suite exercises."""
     from glorie_slam_tpu.ops import pallas_corr
@@ -385,7 +385,7 @@ def test_feats_pyramid_kernel_wide_tile_banded(h0, w0, tile_mult):
         # is ENABLED (band_l < hl, wl sublane-aligned) and the smooth-flow
         # real tiles are covered (only the zero-padded tail tile falls back)
         tile = pallas_corr.auto_tile(npix_pad)
-        band_l1 = pallas_corr.BAND + -(-(tile - 1) // (w0 * 2))
+        band_l1 = pallas_corr.band_rows(pallas_corr.BAND, tile, w0, 1)
         h1, w1 = dims[1]
         assert band_l1 < h1 and w1 % 8 == 0
         st = pallas_corr.band_coverage_stats(np.asarray(cpad), dims, tile)
