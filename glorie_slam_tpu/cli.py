@@ -24,8 +24,9 @@ def main():
 
     import jax
 
-    cache_dir = os.environ.get(
-        "JAX_CACHE_DIR", os.path.join(os.getcwd(), ".jax_cache"))
+    from .utils.cache import cache_dir as _cache_dir
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR") or _cache_dir(os.getcwd())
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

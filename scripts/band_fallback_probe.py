@@ -111,10 +111,9 @@ def main():
 
     import jax
 
-    cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from glorie_slam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".."))
 
     H, W = (160, 320) if args.small else (320, 640)
     runs = []

@@ -37,12 +37,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from glorie_slam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     print("devices:", jax.devices(), file=sys.stderr)
 
     from glorie_slam_tpu.core.factor_graph import _graph_update_step

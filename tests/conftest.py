@@ -21,6 +21,6 @@ import jax  # noqa: E402
 # ignored; force the config in-process too.
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from glorie_slam_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache("/root/repo")
