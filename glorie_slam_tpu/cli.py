@@ -24,12 +24,20 @@ def main():
 
     import jax
 
-    from .utils.cache import cache_dir as _cache_dir
+    from .utils.cache import enable_persistent_cache
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR") or _cache_dir(os.getcwd())
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if os.environ.get("JAX_CACHE_DIR"):
+        # explicit override: trust the caller (still skipped on CPU — see
+        # enable_persistent_cache on the XLA:CPU serialize segfault)
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_CACHE_DIR"])
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+    else:
+        enable_persistent_cache(os.getcwd())
 
     from . import config as config_mod
     from .slam import SLAM

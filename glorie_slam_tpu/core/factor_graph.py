@@ -201,6 +201,9 @@ def _maintain_rows_fused(nets, inps, poses, disps, intrinsics,
     return net, inp, target, weight, tgt_inac, wgt_inac
 
 
+_COORDS0_CACHE = {}
+
+
 class FactorGraph:
     def __init__(self, video, update_apply: Callable, params,
                  corr_impl: str = "volume", max_factors: int = -1,
@@ -220,7 +223,14 @@ class FactorGraph:
         self.max_factors = max_factors
         self.corr_impl = corr_impl
         self.h8, self.w8 = video.h8, video.w8
-        self.coords0 = projective.coords_grid(self.h8, self.w8)
+        # cached per grid shape: loop_ba constructs a fresh graph every
+        # keyframe past the window, and an eager coords_grid is a device
+        # dispatch each time on the remote transport
+        key = (self.h8, self.w8)
+        grid = _COORDS0_CACHE.get(key)
+        if grid is None:
+            grid = _COORDS0_CACHE[key] = projective.coords_grid(*key)
+        self.coords0 = grid
 
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
@@ -234,14 +244,23 @@ class FactorGraph:
         # fixed-shape gather/scatter: exact-size concats/boolean gathers
         # would compile a fresh tiny XLA program per distinct edge count —
         # measured ~70 remote compiles PER FRAME once the graph churns.
-        self.cap = bucket(max_factors) if max_factors > 0 else 8
+        # Capacity starts SMALL and grows to bucket(E) on demand
+        # (_grow_active): sizing the ctor allocation to bucket(max_factors)
+        # cost every loop_ba call (one per keyframe past the window) a
+        # ~430 MB zeros alloc that backend.loop_ba immediately discards by
+        # adopting the frontend graph's buffers, and every dense_ba call
+        # a multi-GB one at trajectory scale (max_factors ~ 6*N there, far
+        # above the edge count the proposal actually produces).
+        self.cap = 8
         self.E = 0
         self.net = self._zeros(self.cap, 128, jnp.bfloat16)
         self.inp = self._zeros(self.cap, 128, jnp.bfloat16)
         self.target = self._zeros(self.cap, 2, jnp.float32)
         self.weight = self._zeros(self.cap, 2, jnp.float32)
 
-        # per-frame BA damping (reference factor_graph.py:28)
+        # per-frame BA damping (reference factor_graph.py:28). NOT shared
+        # across graph instances: update_lowmem DONATES this buffer to
+        # _lowmem_sweep, so a cached copy would be handed out deleted.
         self.damping = 1e-6 * jnp.ones_like(video.disps)
 
         self.ii_inac = np.zeros(0, np.int64)

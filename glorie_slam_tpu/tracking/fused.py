@@ -34,7 +34,7 @@ from ..core.factor_graph import _graph_update_step
 from ..geom import alignment, ba as ba_mod
 from ..ops import corr as corr_mod, depth_filter as df_mod, \
     distance as dist_mod, upsample as up_mod
-from ..utils.buckets import bucket, sticky_bucket
+from ..utils.buckets import bucket, edge_bucket, sticky_bucket
 
 
 @partial(
@@ -403,7 +403,10 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=16,
     if site is None:
         site = ("inactive" if use_inactive else "plain", dmax_floor)
     E = len(graph.ii)
-    E_pad = _sticky(v, site, "E_pad", bucket(E), cap=E_cap)
+    # finer edge ladder: the fused program's dominant costs (GRU convs,
+    # lookup grid, agg) are ~linear in E_pad; the coarse ladder padded the
+    # bench's E ~ 66 high-water to 96 (+45% FLOPs on the hot path)
+    E_pad = _sticky(v, site, "E_pad", edge_bucket(E), cap=E_cap)
     net, inp, target, ii_p, jj_p = graph._pad_edge_arrays(E_pad)
 
     kx, kk = np.unique(graph.ii, return_inverse=True)
@@ -443,8 +446,14 @@ def _assemble(graph, t0_arg, t1_arg, use_inactive, dmax_floor=16,
     # pool) get EB == E_pad — no zero block bloating the BA linearization.
     if not use_inactive:
         EI_pad = 0
+    elif not (EI or E_cap):
+        EI_pad = 0
     else:
-        EI_pad = max(bucket(max(EI, 1)), E_cap) if (EI or E_cap) else 0
+        # sticky fine bucket (was: pinned to E_cap == bucket(max_factors),
+        # which padded a ~60-row steady pool to 128 BA rows). Grow-only, so
+        # EB stays piecewise-constant; capped at E_cap as before.
+        EI_pad = _sticky(v, site, "EI_pad",
+                         edge_bucket(max(EI, 1)), cap=E_cap)
     if EI_pad:
         padi = EI_pad - EI
         ii_in_p = np.concatenate([ii_in, -np.ones(padi, np.int64)])

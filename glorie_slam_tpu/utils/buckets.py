@@ -9,6 +9,17 @@ _LADDER = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
            1536, 2048, 3072, 4096, 8192, 16384, 32768, 65536, 131072,
            262144, 524288)
 
+# Finer ladder for the HOT programs' edge axis: the fused DSPO rounds scale
+# ~linearly in E_pad (GRU convs + lookup + agg), and the coarse ladder's
+# 64 -> 96 -> 128 jumps pad a steady-state frontend graph (E ~ 66 on the
+# Replica bench) 45% past its high water. Multiples of 8 keep an 8-device
+# edge shard even (parallel/mesh.py) and the one-hot contractions aligned.
+# Compile cost: each rung is one extra fused-program compile, grow-only
+# under sticky_bucket and persisted by the compilation cache.
+EDGE_LADDER = tuple(range(8, 129, 8)) + (160, 192, 224, 256, 320, 384,
+                                         448, 512, 640, 768, 1024, 1536,
+                                         2048, 3072, 4096)
+
 
 def bucket(n: int, ladder=_LADDER) -> int:
     """Round n up to the next bucket size."""
@@ -18,6 +29,11 @@ def bucket(n: int, ladder=_LADDER) -> int:
         if n <= b:
             return b
     raise ValueError(f"size {n} exceeds the largest bucket {ladder[-1]}")
+
+
+def edge_bucket(n: int) -> int:
+    """Round an edge count up on the finer edge-axis ladder."""
+    return bucket(n, EDGE_LADDER)
 
 
 def sticky_bucket(video, site, name, val, cap=0):

@@ -54,10 +54,40 @@ def cache_dir(root: str = None) -> str:
     return d
 
 
-def enable_persistent_cache(root: str = None) -> str:
-    """Point jax at the machine-scoped cache with aggressive persistence."""
+def _cpu_only_platform() -> bool:
+    """True when jax is pinned to the CPU backend (tests force this)."""
     import jax
 
+    plats = None
+    try:
+        plats = jax.config.jax_platforms
+    except AttributeError:  # very old jax
+        pass
+    if not plats:
+        plats = os.environ.get("JAX_PLATFORMS", "")
+    names = [p.strip().lower() for p in str(plats).split(",") if p.strip()]
+    return bool(names) and all(n == "cpu" for n in names)
+
+
+def enable_persistent_cache(root: str = None) -> str:
+    """Point jax at the machine-scoped cache with aggressive persistence.
+
+    DISABLED on CPU-only runs: XLA:CPU AOT executable (de)serialization is
+    unreliable on some hosts — both ``executable.serialize()`` and
+    ``backend.deserialize_executable`` segfault for large programs on this
+    machine's ISA (observed crashing the test suite at
+    compilation_cache.py:238/265). TPU executables round-trip through the
+    PJRT plugin's own path and are unaffected, and the cache's whole point
+    here is amortizing the slow remote TPU compiles.
+    """
+    import jax
+
+    if _cpu_only_platform():
+        return None
+    # platform unpinned: check the actual backend (initializes it — fine,
+    # every caller touches devices right after)
+    if jax.default_backend() == "cpu":
+        return None
     d = cache_dir(root)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
