@@ -36,6 +36,10 @@ def main():
                 "jax_persistent_cache_min_compile_time_secs", 0.0)
             jax.config.update(
                 "jax_persistent_cache_min_entry_size_bytes", -1)
+        else:
+            print("WARNING: JAX_CACHE_DIR is set but ignored on the CPU "
+                  "backend (XLA:CPU AOT executable serialization is "
+                  "unreliable — see glorie_slam_tpu/utils/cache.py)")
     else:
         enable_persistent_cache(os.getcwd())
 

@@ -63,6 +63,16 @@ def _graph_update_step(update_apply, params, poses, disps, intrinsics,
 
 
 @jax.jit
+def _masked_rows(net2, target2, weight2, edge_mask):
+    """Zero the pad rows of refreshed edge state (see _set_active_rows)."""
+    def m(x):
+        return x * edge_mask.reshape(
+            (-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+
+    return m(net2), m(target2), m(weight2)
+
+
+@jax.jit
 def _frame_rows_write(arr, dst, vals, valid):
     """(N, h, w) buffer: arr[dst] <- vals where valid (masked delta)."""
     delta = jnp.where(
@@ -339,7 +349,9 @@ class FactorGraph:
                 len(self.ii) + len(ii) > self.max_factors
                 and self.corr_impl == "volume" and len(self.ii) > 0
                 and remove):
-            ix = np.argsort(self.age)[::-1]  # oldest have largest age
+            # stable descending: ties (equal ages) evict the LOWEST active
+            # index first, matching maintain()'s eviction order exactly
+            ix = np.argsort(-self.age, kind="stable")
             drop = np.zeros(len(self.ii), bool)
             n_drop = len(self.ii) + len(ii) - self.max_factors
             drop[ix[:n_drop]] = True
@@ -373,15 +385,23 @@ class FactorGraph:
             ii_d, jj_d, dst_d, valid)
         self.E = len(self.ii)
 
-    def maintain(self, pre_rm_mask, ii, jj):
+    def maintain(self, pre_rm_mask, ii, jj, remove=True):
         """Per-frame edge maintenance — rm-by-age + dedup + eviction +
         append — with ONE device dispatch (_maintain_rows_fused).
 
         Semantically equal to ``rm_factors(pre_rm_mask, store=True)``
-        followed by ``add_factors(ii, jj, remove=True)``: the dedup filter
-        checks active ∪ inactive, and edges removed here land in the
-        inactive pool either way, so filtering against the pre-removal
-        sets gives the same edge set."""
+        followed by ``add_factors(ii, jj, remove=remove)``: the dedup
+        filter checks active ∪ inactive, and edges removed here land in
+        the inactive pool either way, so filtering against the pre-removal
+        sets gives the same edge set. ``remove`` gates the max_factors
+        eviction exactly as in ``add_factors``.
+
+        Pool-order caveat: the sequential path appends the age-removed
+        edges to the inactive pool BEFORE the evicted ones; this fused
+        path appends all removed edges in active-index order. The pool is
+        an unordered SET everywhere it is read (dedup membership + masked
+        BA residuals), so only the row ordering differs, never the
+        contents."""
         self.version += 1
         ii = np.asarray(ii, np.int64).reshape(-1)
         jj = np.asarray(jj, np.int64).reshape(-1)
@@ -394,10 +414,15 @@ class FactorGraph:
         # factor_graph.py:112-116); like add_factors it only applies when
         # something is actually being added
         if (self.max_factors > 0 and self.corr_impl == "volume"
-                and E_old > 0 and k_new > 0):
+                and E_old > 0 and k_new > 0 and remove):
             n_drop = (E_old - int(rm.sum())) + k_new - self.max_factors
             if n_drop > 0:
-                order = np.argsort(self.age)[::-1]   # oldest first
+                # stable descending over the PRE-removal array, then filter
+                # the pre-removed rows: a stable sort of a subsequence
+                # preserves the relative order of the survivors, so this
+                # picks the SAME victims as the sequential path's stable
+                # sort of the post-removal array (incl. tied ages)
+                order = np.argsort(-self.age, kind="stable")
                 order = order[~rm[order]]
                 rm[order[:n_drop]] = True
         ks = int(rm.sum())
@@ -554,9 +579,20 @@ class FactorGraph:
         return (take(self.net), take(self.inp), take(self.target),
                 ii_p, jj_p)
 
-    def _set_active_rows(self, net2, target2, weight2, E_pad):
+    def _set_active_rows(self, net2, target2, weight2, E_pad,
+                         edge_mask=None):
         """Install E_pad rows of refreshed per-edge state into the
-        capacity buffers (rows beyond E_pad keep their stale content)."""
+        capacity buffers (rows beyond E_pad keep their stale content).
+
+        ``edge_mask`` zeroes the PAD rows E..E_pad-1 before the write:
+        the GRU emits garbage there, and leaving it in the buffers would
+        break the zero-tail EXACTNESS INVARIANT (_rows_write) that a later
+        ``add_factors`` delta-add relies on. Pass ``None`` only when the
+        caller has already zeroed the pad rows in-program (the fused
+        rounds path, tracking/fused.py)."""
+        if edge_mask is not None:
+            net2, target2, weight2 = _masked_rows(net2, target2, weight2,
+                                                  edge_mask)
         if E_pad == self.cap:
             self.net, self.target, self.weight = net2, target2, weight2
         else:
@@ -591,7 +627,7 @@ class FactorGraph:
             jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p),
             edge_mask, self.coords0, num_frames=M_pad,
         )
-        self._set_active_rows(net2, target2, weight2, E_pad)
+        self._set_active_rows(net2, target2, weight2, E_pad, edge_mask)
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
@@ -801,7 +837,7 @@ class FactorGraph:
         if nat is not None:
             n_ii, n_jj = nat
             if pre_rm_mask is not None:
-                self.maintain(pre_rm_mask, n_ii, n_jj)
+                self.maintain(pre_rm_mask, n_ii, n_jj, remove=remove)
             elif len(n_ii):
                 self.add_factors(n_ii, n_jj, remove)
             return

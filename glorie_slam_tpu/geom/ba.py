@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from . import lie, projective
+from ..utils.detsum import edge_einsum
 
 _HI = jax.lax.Precision.HIGHEST
 # The Schur gram + its one-hot placements are the three largest MXU
@@ -209,15 +210,18 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
             poses.dtype)                                 # (E, P+1)
         Oj = (slot_j[:, None] == jnp.arange(P_max + 1)[None, :]).astype(
             poses.dtype)
-        Hdiag = (jnp.einsum("ep,eij->pij", Oi, Hii, precision=_HI)
-                 + jnp.einsum("ep,eij->pij", Oj, Hjj, precision=_HI))
-        X = jnp.einsum("epij,eq->pqij", Oi[:, :, None, None] * Hij[:, None],
-                       Oj, precision=_HI)
+        # edge_einsum (not jnp.einsum): the edge axis may be sharded over a
+        # mesh — a fixed summation association keeps the result bitwise
+        # identical to the single-device program (utils/detsum.py)
+        Hdiag = (edge_einsum("ep,eij->pij", Oi, Hii, precision=_HI)
+                 + edge_einsum("ep,eij->pij", Oj, Hjj, precision=_HI))
+        X = edge_einsum("epij,eq->pqij", Oi[:, :, None, None] * Hij[:, None],
+                        Oj, precision=_HI)
         H = (X + jnp.transpose(X, (1, 0, 3, 2))
              + Hdiag[:, None] * jnp.eye(P_max + 1, dtype=poses.dtype)
              [:, :, None, None])
-        v = (jnp.einsum("ep,ei->pi", Oi, vi, precision=_HI)
-             + jnp.einsum("ep,ei->pi", Oj, vj, precision=_HI))
+        v = (edge_einsum("ep,ei->pi", Oi, vi, precision=_HI)
+             + edge_einsum("ep,ei->pi", Oj, vj, precision=_HI))
 
         if motion_only:
             Hm = H[:P_max, :P_max].transpose(0, 2, 1, 3).reshape(P_max * 6, P_max * 6)
@@ -231,8 +235,8 @@ def ba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
         # E x npix serializes)
         Ok = (kidx[:, None] == jnp.arange(K_max + 1)[None, :]).astype(
             poses.dtype)                                 # (E, K+1)
-        C = jnp.einsum("ek,ep->kp", Ok, Ce, precision=_HI)
-        wz = jnp.einsum("ek,ep->kp", Ok, wze, precision=_HI)
+        C = edge_einsum("ek,ep->kp", Ok, Ce, precision=_HI)
+        wz = edge_einsum("ek,ep->kp", Ok, wze, precision=_HI)
         C = C[:K_max] + m_sens * alpha + (1 - m_sens) * eta_win
         disp_win = jax.lax.dynamic_slice(
             disps, (kbase, 0, 0), (K_max, ht, wd)
@@ -382,8 +386,8 @@ def ba_scale_shift(poses, disps, intrinsics, target, weight, eta,
         # serialize — same rationale as in ba())
         Okd = (kidx[:, None] == jnp.arange(K_max)[None, :]).astype(
             disps.dtype)                                 # (E, K_max)
-        C_proj = jnp.einsum("ek,ep->kp", Okd, Ck, precision=_HI)
-        w_proj = jnp.einsum("ek,ep->kp", Okd, wk, precision=_HI)
+        C_proj = edge_einsum("ek,ep->kp", Okd, Ck, precision=_HI)
+        w_proj = edge_einsum("ek,ep->kp", Okd, wk, precision=_HI)
 
         disp_win = jax.lax.dynamic_slice(
             disps, (kbase, 0, 0), (K_max, ht, wd)

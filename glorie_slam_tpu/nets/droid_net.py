@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..utils.detsum import edge_einsum
+
 DIM = 32
 CORR_PLANES = 4 * (2 * 3 + 1) ** 2  # 4 levels x 7x7 window = 196
 
@@ -148,18 +150,19 @@ class GraphAgg(nn.Module):
         x = nn.relu(
             nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="conv1")(net)
         )
-        if edge_mask is not None:
-            x = x * edge_mask[:, None, None, None].astype(x.dtype)
-            counts = jax.ops.segment_sum(
-                edge_mask.astype(x.dtype), kk, num_segments=num_frames
-            )
-        else:
-            counts = jax.ops.segment_sum(
-                jnp.ones((E,), x.dtype), kk, num_segments=num_frames
-            )
-        summed = jax.ops.segment_sum(
-            x.reshape(E, -1), kk, num_segments=num_frames
-        )
+        # Cross-edge reduction as a fixed-association one-hot contraction
+        # (utils/detsum.py): under edge sharding GSPMD splits a segment_sum
+        # into per-shard partials + psum, reassociating the f32 adds vs the
+        # single-device program; that noise rounds to a full bf16 ulp in the
+        # recurrent damping path and the DSPO stage-2 fit amplifies it
+        # (tests/test_parallel.py::test_fused_rounds_sharded_dspo). The
+        # one-hot matmul also rides the MXU instead of the scatter unit.
+        ones_e = jnp.ones((E,), x.dtype)
+        mask = edge_mask.astype(x.dtype) if edge_mask is not None else ones_e
+        oh = (kk[:, None] == jnp.arange(num_frames)[None, :]).astype(x.dtype)
+        oh = oh * mask[:, None]
+        counts = edge_einsum("ek,e->k", oh, ones_e)
+        summed = edge_einsum("ek,ec->kc", oh, x.reshape(E, -1))
         mean = (summed / jnp.maximum(counts, 1.0)[:, None]).reshape(
             num_frames, h, w, c
         )

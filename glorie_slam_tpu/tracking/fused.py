@@ -231,6 +231,15 @@ def dspo_rounds(update_apply, agg_apply, params,
     kx_valid3 = (jnp.arange(num_frames) < n_kx_valid)[:, None, None]
     delta_up = jnp.where(kx_valid3, up - disps_up[kx], 0.0)
     disps_up = disps_up.at[kx].add(delta_up)
+    # zero the PAD rows of the refreshed edge state before the host writes
+    # it back into the capacity buffers (_set_active_rows): the GRU emits
+    # garbage there and writing it would break the zero-tail EXACTNESS
+    # INVARIANT that add_factors' delta-add relies on (factor_graph.py
+    # _rows_write; weight was already masked each round above). Fused
+    # elementwise multiply — free inside this program.
+    em = edge_mask.reshape((-1,) + (1,) * (net.ndim - 1))
+    net = net * em.astype(net.dtype)
+    target = target * em.astype(target.dtype)
     return (poses, disps, disps_up, net, target, weight, damping, dsc, dsh,
             vm, kf_dist)
 

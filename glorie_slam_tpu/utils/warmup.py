@@ -19,9 +19,83 @@ with the persistent compile cache the cost is once per machine, not once
 per run.
 """
 
+import hashlib
+import json
+import os
+
 import numpy as np
 
 from .buckets import _LADDER, bucket
+
+
+def _profile_path(cfg, root=None):
+    """Machine-independent shape-profile file for this config.
+
+    Keyed by the shape-affecting config slice (camera output dims + the
+    whole tracking block): sticky high-waters (utils/buckets.sticky_bucket)
+    are pure shape information, so unlike the compiled-executable cache
+    (utils/cache.py) one profile serves every machine."""
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    key = json.dumps(
+        {"cam": {k: cfg["cam"].get(k) for k in ("H_out", "W_out")},
+         "tracking": cfg.get("tracking", {})},
+        sort_keys=True, default=str)
+    h = hashlib.sha1(key.encode()).hexdigest()[:12]
+    d = os.path.join(root, ".jax_cache", "shape_profiles")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{h}.json")
+
+
+def load_shape_profile(cfg, video, root=None):
+    """Pre-seed ``video``'s sticky high-waters from a saved profile.
+
+    With the profile in place the ghost warm-up (and the real run) compile
+    ONLY the final-rung programs instead of re-walking the growth ladder —
+    the VERDICT-r4 fix for history-dependent sticky shapes defeating the
+    warm pass. Returns the number of seeded keys."""
+    path = _profile_path(cfg, root)
+    if not os.path.exists(path):
+        return 0
+    try:
+        with open(path) as f:
+            prof = json.load(f)
+    except (OSError, ValueError):
+        return 0
+    hw = getattr(video, "_shape_hw", None)
+    if hw is None:
+        hw = video._shape_hw = {}
+    n = 0
+    for k, v in prof.items():
+        site, _, name = k.partition("|")
+        key = (site, name)
+        if v > hw.get(key, 0):
+            hw[key] = int(v)
+            n += 1
+    return n
+
+
+def save_shape_profile(cfg, video, root=None):
+    """Merge ``video``'s sticky high-waters into the saved profile."""
+    hw = getattr(video, "_shape_hw", None)
+    if not hw:
+        return
+    path = _profile_path(cfg, root)
+    prof = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prof = json.load(f)
+        except (OSError, ValueError):
+            prof = {}
+    for (site, name), v in hw.items():
+        k = f"{site}|{name}"
+        prof[k] = max(int(v), prof.get(k, 0))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(prof, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def warm_ladder(slam, max_keyframes, printer=None):
@@ -29,7 +103,17 @@ def warm_ladder(slam, max_keyframes, printer=None):
 
     slam: a constructed SLAM (tracker_net params are shared; all warm
     state lives in a throwaway DepthVideo). Safe to call before
-    ``tracker.run``; does not touch ``slam.video``.
+    ``tracker.run``; does not touch ``slam.video``."""
+    warm_pipeline(slam.cfg, slam.tracker_net, slam.video, max_keyframes,
+                  printer=printer)
+
+
+def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
+                  profile_root=None):
+    """Core warm-up: ghost pipeline teleported along the bucket ladder.
+
+    ``real_video``: the run's live DepthVideo — receives the ghost's sticky
+    shape high-waters afterwards so the real run starts on the warmed rungs.
     """
     import jax.numpy as jnp
 
@@ -38,11 +122,21 @@ def warm_ladder(slam, max_keyframes, printer=None):
     from ..tracking.frontend import Frontend
     from ..tracking.motion_filter import MotionFilter
 
-    cfg = slam.cfg
-    tn = slam.tracker_net
+    tn = tracker_net
     H, W = cfg["cam"]["H_out"], cfg["cam"]["W_out"]
 
     video = DepthVideo(cfg)
+    # pre-seed the ghost's sticky high-waters from the saved shape profile
+    # (and anything the real video already reached, e.g. on resume): the
+    # ghost then compiles the final-rung programs directly instead of
+    # paying compiles at intermediate growth rungs the real run never uses
+    load_shape_profile(cfg, video, root=profile_root)
+    real_hw0 = getattr(real_video, "_shape_hw", None) or {}
+    ghost_hw = getattr(video, "_shape_hw", None)
+    if ghost_hw is None:
+        ghost_hw = video._shape_hw = {}
+    for k, v in real_hw0.items():
+        ghost_hw[k] = max(ghost_hw.get(k, 0), v)
     mf = MotionFilter(tn, video, cfg, thresh=-1.0)  # always admit
     fe = Frontend(tn, video, cfg)
     ba = Backend(tn, video, cfg)
@@ -131,8 +225,9 @@ def warm_ladder(slam, max_keyframes, printer=None):
     # shape keys
     hw = getattr(video, "_shape_hw", None)
     if hw:
-        real_hw = getattr(slam.video, "_shape_hw", None)
+        real_hw = getattr(real_video, "_shape_hw", None)
         if real_hw is None:
-            real_hw = slam.video._shape_hw = {}
+            real_hw = real_video._shape_hw = {}
         for k, v in hw.items():
             real_hw[k] = max(real_hw.get(k, 0), v)
+        save_shape_profile(cfg, video, root=profile_root)

@@ -353,7 +353,7 @@ def test_feats_pyramid_kernel_wide_tile_banded(h0, w0, tile_mult):
 
     The (48, 32) case is the regression guard for the per-level band_l
     formula (band_rows, pallas_corr.py): level 1 PROVABLY takes the
-    in-kernel slab path there (band_l=20 < hl=24, wl=16 % 8 == 0), which no
+    in-kernel slab path there (band_l=18 < hl=24, wl=16 % 8 == 0), which no
     other geometry in the suite exercises."""
     from glorie_slam_tpu.ops import pallas_corr
 
