@@ -378,6 +378,21 @@ class DepthVideo:
             )
         return target, weight, ii_p, jj_p, E_pad
 
+    def _edge_mesh(self, E_pad):
+        """Active edge mesh when it evenly divides E_pad (else None).
+
+        Sharding the BA's target/weight inputs over the mesh makes GSPMD
+        partition the Hessian/Schur one-hot assembly; the fixed-association
+        contractions (utils/detsum.py) keep the result bitwise equal to the
+        single-device solve (shard boundaries coincide with detsum group
+        boundaries: both are multiples of E_pad/8)."""
+        from ..tracking.fused import _active_mesh
+
+        mesh = _active_mesh(self)
+        if mesh is not None and E_pad % mesh.size == 0:
+            return mesh
+        return None
+
     def _dspo(self, target, weight, eta, ii, jj, t0, t1, iters, lm, ep,
               motion_only, opt_type):
         if opt_type == "pose_depth":
@@ -385,6 +400,12 @@ class DepthVideo:
             target, weight, ii_p, jj_p, E_pad = self._pad_edges(
                 target, weight, ii, jj
             )
+            mesh = self._edge_mesh(E_pad)
+            if mesh is not None:
+                from ..parallel import mesh as mesh_mod
+
+                target, weight = mesh_mod.shard_edge_arrays(
+                    mesh, target, weight)
             kbase = int(min(ii.min(), t0))
             K = bucket(max(t1 - kbase, 1))
             K = min(K, self.buffer)
@@ -473,6 +494,12 @@ class DepthVideo:
             target_t, weight_t, ii_p, jj_p, E_pad = self._pad_edges(
                 target_t, weight_t, ii_t, jj_t
             )
+            mesh = self._edge_mesh(E_pad)
+            if mesh is not None:
+                from ..parallel import mesh as mesh_mod
+
+                target_t, weight_t = mesh_mod.shard_edge_arrays(
+                    mesh, target_t, weight_t)
             kbase = int(ii_t.min())
             K = bucket(max(int(ii_t.max()) + 1 - kbase, 1))
             K = min(K, self.buffer)

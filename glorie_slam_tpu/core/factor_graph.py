@@ -674,6 +674,13 @@ class FactorGraph:
         processed in source-frame chunks (reference factor_graph.py:259-309).
         """
         v = self.video
+        # multi-chip: the sweep's chunks are data-parallel over the edge
+        # mesh (see _lowmem_sweep), and the BA solve after each sweep is
+        # edge-sharded via input shardings (the detsum fixed-association
+        # contractions keep it bitwise vs single-device). Same mesh + axis
+        # as the fused frontend rounds (tracking.mesh_devices).
+        from ..tracking.fused import _active_mesh
+        mesh = _active_mesh(v)
         for step in range(steps):
             E = len(self.ii)
             self._grow_active(E)
@@ -755,7 +762,8 @@ class FactorGraph:
                 jnp.asarray(np.stack(ckks), i32),
                 jnp.asarray(np.stack(ckxs), i32),
                 jnp.asarray(np.stack(cev)),
-                jnp.asarray(np.asarray(ckns, np.int64), i32), M8=M8)
+                jnp.asarray(np.asarray(ckns, np.int64), i32), M8=M8,
+                edge_mesh=mesh)
 
             kxu = np.unique(self.ii)
             kxu_p = np.concatenate(
@@ -988,12 +996,12 @@ class FactorGraph:
         return len(self.ii)
 
 
-@partial(jax.jit, static_argnames=("update_apply", "M8"),
+@partial(jax.jit, static_argnames=("update_apply", "M8", "edge_mesh"),
          donate_argnums=(2, 3, 4, 5, 6))
 def _lowmem_sweep(update_apply, params, net_buf, target_buf, weight_buf,
                   damping, disps_up, disps, feat_pyr, inps_store,
                   coords1_all, motn_all, sel_idx, iis, jjs, kks, kxs,
-                  edge_valid, kns, M8: int = 8):
+                  edge_valid, kns, M8: int = 8, edge_mesh=None):
     """ALL of a backend GRU sweep's chunks as ONE ``lax.scan`` program.
 
     The python chunk loop costs ~6 remote dispatches per chunk
@@ -1007,6 +1015,16 @@ def _lowmem_sweep(update_apply, params, net_buf, target_buf, weight_buf,
     sel_idx/iis/jjs/kks/edge_valid: (n_chunks_pad, Ec) per-chunk edge rows;
     kxs: (n_chunks_pad, M8) global frame ids; kns: (n_chunks_pad,) valid
     frame counts. Returns (net, target, weight, damping, disps_up).
+
+    ``edge_mesh``: optional mesh — chunks are data-parallel over devices.
+    Chunks are INDEPENDENT: each updates a disjoint row set (sel rows of
+    the edge buffers; kx ⊂ [i, i+8) of damping/disps_up), so device d
+    scans its ncp/D contiguous chunks accumulating DELTA buffers from
+    zero, and a ``psum`` merges them. Every row receives exactly one
+    nonzero contribution (plus exact float zeros), so the result is
+    BITWISE the single-device sweep's (tests/test_parallel.py pins this);
+    per-device transient memory stays one chunk's activations, same as
+    single-device. ICI cost: one all-reduce over the delta buffers.
     """
     from .depth_video import _upsample_merge
 
@@ -1037,7 +1055,83 @@ def _lowmem_sweep(update_apply, params, net_buf, target_buf, weight_buf,
                                    upmask.astype(jnp.float32), kn)
         return (net_buf, target_buf, weight_buf, damping, disps_up), None
 
-    carry, _ = jax.lax.scan(
-        body, (net_buf, target_buf, weight_buf, damping, disps_up),
-        (sel_idx, iis, jjs, kks, kxs, edge_valid, kns))
-    return carry
+    chunks = (sel_idx, iis, jjs, kks, kxs, edge_valid, kns)
+
+    if edge_mesh is None:
+        carry, _ = jax.lax.scan(
+            body, (net_buf, target_buf, weight_buf, damping, disps_up),
+            chunks)
+        return carry
+
+    from jax.sharding import PartitionSpec as _P
+    from ..parallel import mesh as mesh_mod
+
+    def shard_body(net0, target0, weight0, damping0, disps_up0,
+                   disps_, feat_pyr_, inps_, coords1_, motn_, params_,
+                   *chs):
+        # direct DELTA accumulation into zero-init buffers: every read is
+        # from the replicated PRE-sweep state (chunks touch disjoint rows,
+        # so the sequential scan also always reads pre-sweep values), and
+        # a touched row's final value is buf0 + (vals - buf0) — the exact
+        # float expression of the sequential in-place merge. Accumulating
+        # values (not reconstructing buf0 + delta per chunk) keeps pass-
+        # through rows bitwise.
+        def dbody(carry, chunk):
+            dn, dt, dw, dd2, du = carry
+            sel, ii, jj, kk, kx, ev, kn = chunk
+            coords_c = coords1_[sel]
+            corr = corr_mod.lookup_pyramid_feats(feat_pyr_, ii, jj,
+                                                 coords_c)
+            net2, delta, weight2, eta, upmask = update_apply(
+                params_, net0[sel].astype(bf), inps_[ii].astype(bf),
+                corr.astype(bf), motn_[sel].astype(bf), kk, M8, ev)
+            em = ev[:, None, None, None] > 0
+
+            def dmerge(dbuf, buf0, vals):
+                d = jnp.where(em, vals.astype(buf0.dtype) - buf0[sel],
+                              0).astype(buf0.dtype)
+                return dbuf.at[sel].add(d)
+
+            dn = dmerge(dn, net0, net2)
+            dt = dmerge(dt, target0, coords_c + delta.astype(jnp.float32))
+            dw = dmerge(dw, weight0, weight2.astype(jnp.float32))
+            kv = (jnp.arange(M8) < kn)[:, None, None]
+            ddv = jnp.where(kv, eta.astype(damping0.dtype) - damping0[kx],
+                            0).astype(damping0.dtype)
+            dd2 = dd2.at[kx].add(ddv)
+            # convex upsample of the final disps (pre-sweep disps_ — the
+            # sweep never writes disps) merged as a delta row write
+            mask_nchw = jnp.moveaxis(upmask.astype(jnp.float32), -1, 1)
+            from ..ops import upsample as up_mod
+            up = up_mod.upsample_disp(disps_[kx], mask_nchw)
+            uv = (jnp.arange(M8) < kn)[:, None, None]
+            dup = jnp.where(uv, up - disps_up0[kx], 0.0)
+            du = du.at[kx].add(dup)
+            return (dn, dt, dw, dd2, du), None
+
+        zeros0 = jax.tree_util.tree_map(
+            # pvary: the zero-init carries are device-VARYING (each shard
+            # accumulates different chunks) — mark them so shard_map's
+            # varying-axis check types the scan carry consistently
+            lambda x: jax.lax.pcast(jnp.zeros_like(x), mesh_mod.EDGE_AXIS,
+                                    to="varying"),
+            (net0, target0, weight0, damping0, disps_up0))
+        (dn, dt, dw, dd2, du), _ = jax.lax.scan(dbody, zeros0, chs)
+        # disjoint support: each element of each delta is nonzero on at
+        # most ONE device, so the all-reduce adds exact zeros — bitwise
+        # equal to the single-device sweep
+        dn, dt, dw, dd2, du = jax.lax.psum((dn, dt, dw, dd2, du),
+                                           mesh_mod.EDGE_AXIS)
+        return (net0 + dn, target0 + dt, weight0 + dw, damping0 + dd2,
+                disps_up0 + du)
+
+    rep = _P()
+    esh = _P(mesh_mod.EDGE_AXIS)
+    fn = jax.shard_map(
+        shard_body, mesh=edge_mesh,
+        in_specs=(rep,) * 11 + (esh,) * 7,
+        out_specs=(rep,) * 5,
+    )
+    return fn(net_buf, target_buf, weight_buf, damping, disps_up,
+              disps, feat_pyr, inps_store, coords1_all, motn_all, params,
+              *chunks)

@@ -130,6 +130,127 @@ def test_fused_rounds_sharded_dspo():
     assert np.mean(a["vmask"] != b["vmask"]) < 0.02
 
 
+def _lowmem_sweep_problem(seed=7):
+    """Direct inputs for _lowmem_sweep at toy scale: 3 real chunks (+5 pad)
+    of 8-edge capacity over a 6-frame video, mirroring update_lowmem's
+    packing exactly (core/factor_graph.py:update_lowmem)."""
+    from glorie_slam_tpu.nets.tracker_net import TrackerNet
+    from glorie_slam_tpu.ops import corr as corr_mod
+
+    rng = np.random.default_rng(seed)
+    N, h, w = 6, 8, 12
+    cap, Ec, M8, ncp = 32, 8, 8, 8
+    tn = TrackerNet(seed=3)
+
+    f32 = jnp.float32
+    fmaps = jnp.asarray(rng.normal(size=(N, h, w, 128)), jnp.bfloat16)
+    feat_pyr = corr_mod.prep_feat_pyramid(fmaps)
+    inps = jnp.asarray(rng.normal(size=(N, h, w, 128)) * 0.1, f32)
+    net_buf = jnp.asarray(rng.normal(size=(cap, h, w, 128)) * 0.1, f32)
+    target_buf = jnp.asarray(rng.normal(size=(cap, h, w, 2)), f32)
+    weight_buf = jnp.asarray(rng.random(size=(cap, h, w, 2)), f32)
+    damping = jnp.asarray(rng.random(size=(N, h, w)), f32)
+    disps = jnp.asarray(0.5 + rng.random(size=(N, h, w)), f32)
+    disps_up = jnp.asarray(
+        0.5 + rng.random(size=(N, 8 * h, 8 * w)), f32)
+    coords1_all = jnp.asarray(
+        rng.uniform(0, [w - 1, h - 1], size=(cap, h, w, 2)), f32)
+    motn_all = jnp.asarray(rng.normal(size=(cap, h, w, 4)), f32)
+
+    # chunks: source frames {0,1}, {2,3}, {4,5}; disjoint edge rows
+    ii_all = np.array([0, 0, 1, 1, 2, 3, 3, 4, 4, 5, 5, 5])
+    jj_all = (ii_all + 1) % N
+    rows = rng.permutation(cap)[:len(ii_all)]  # scattered buffer rows
+    csel, ciis, cjjs, ckks, ckxs, cev, ckns = [], [], [], [], [], [], []
+    for lo in (0, 2, 4):
+        m = (ii_all >= lo) & (ii_all < lo + 2)
+        idx, iic, jjc = rows[m], ii_all[m], jj_all[m]
+        pad = Ec - len(idx)
+        kx, kk = np.unique(iic, return_inverse=True)
+        csel.append(np.concatenate([idx, np.zeros(pad, np.int64)]))
+        ciis.append(np.concatenate([iic, np.zeros(pad, np.int64)]))
+        cjjs.append(np.concatenate([jjc, np.zeros(pad, np.int64)]))
+        ckks.append(np.concatenate([kk, np.full(pad, M8 - 1)]))
+        ckxs.append(np.concatenate([kx, np.zeros(M8 - len(kx), np.int64)]))
+        cev.append((np.arange(Ec) < len(idx)).astype(np.float32))
+        ckns.append(len(kx))
+    for _ in range(ncp - 3):
+        csel.append(np.zeros(Ec, np.int64))
+        ciis.append(np.zeros(Ec, np.int64))
+        cjjs.append(np.zeros(Ec, np.int64))
+        ckks.append(np.full(Ec, M8 - 1, np.int64))
+        ckxs.append(np.zeros(M8, np.int64))
+        cev.append(np.zeros(Ec, np.float32))
+        ckns.append(0)
+    i32 = jnp.int32
+    chunk_args = (jnp.asarray(np.stack(csel), i32),
+                  jnp.asarray(np.stack(ciis), i32),
+                  jnp.asarray(np.stack(cjjs), i32),
+                  jnp.asarray(np.stack(ckks), i32),
+                  jnp.asarray(np.stack(ckxs), i32),
+                  jnp.asarray(np.stack(cev)),
+                  jnp.asarray(np.asarray(ckns, np.int64), i32))
+    return (tn.update_apply, tn.params, net_buf, target_buf, weight_buf,
+            damping, disps_up, disps, feat_pyr, inps, coords1_all,
+            motn_all) + chunk_args
+
+
+def test_lowmem_sweep_sharded_bitwise():
+    """The backend GRU sweep (dense_ba's inner program) sharded over the
+    chunk axis must be BITWISE the single-device sweep: chunks update
+    disjoint rows, so the delta-psum adds exact zeros (VERDICT r4 next #4).
+    """
+    from glorie_slam_tpu.core.factor_graph import _lowmem_sweep
+
+    args = _lowmem_sweep_problem()
+    ref = _lowmem_sweep(*args, M8=8, edge_mesh=None)
+    args2 = _lowmem_sweep_problem()  # fresh buffers (donated)
+    mesh = mesh_mod.make_mesh(8)
+    out = _lowmem_sweep(*args2, M8=8, edge_mesh=mesh)
+    names = ("net", "target", "weight", "damping", "disps_up")
+    for name, a, b in zip(names, ref, out):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=f"sharded lowmem sweep diverged in {name}")
+
+
+def test_dense_ba_sharded_matches_single():
+    """Production ``Backend.dense_ba`` (proposal -> update_lowmem sweeps +
+    global DSPO BA) on the 8-device mesh vs single device — the program
+    VERDICT r4 flagged as the unsharded dominant long-run cost."""
+    from test_backend_loop import _seeded_video, N_KF
+    from glorie_slam_tpu.nets.tracker_net import TrackerNet
+    from glorie_slam_tpu.tracking.backend import Backend
+    from synthetic import SyntheticStream
+
+    circuit = SyntheticStream(n_frames=N_KF, H=64, W=96, seed=5,
+                              trajectory="circuit")
+
+    def run(mesh_devices):
+        cfg, video = _seeded_video(circuit)
+        cfg["tracking"]["mesh_devices"] = mesh_devices
+        tn = TrackerNet(seed=1)
+        backend = Backend(tn, video, cfg)
+        n, n_edges = backend.dense_ba(steps=2)
+        return video, n_edges
+
+    v_a, ne_a = run(0)
+    v_b, ne_b = run(8)
+    assert ne_a == ne_b and ne_a > 0
+    pa, pb = np.asarray(v_a.poses[:N_KF]), np.asarray(v_b.poses[:N_KF])
+    da, db = np.asarray(v_a.disps[:N_KF]), np.asarray(v_b.disps[:N_KF])
+    # sweep is bitwise (test above); the BA solve's sharded one-hot
+    # contractions ride detsum's fixed association, leaving only XLA
+    # fusion-level rounding differences in elementwise chains
+    np.testing.assert_allclose(pa, pb, atol=1e-5,
+                               err_msg="sharded dense_ba poses diverged")
+    np.testing.assert_allclose(da, db, atol=1e-4,
+                               err_msg="sharded dense_ba disps diverged")
+    ua = np.asarray(v_a.disps_up[:N_KF])
+    ub = np.asarray(v_b.disps_up[:N_KF])
+    np.testing.assert_allclose(ua, ub, atol=1e-4)
+
+
 def test_mesh_helpers_roundtrip():
     mesh = mesh_mod.make_mesh(8)
     x = jnp.arange(16.0).reshape(16, 1)
