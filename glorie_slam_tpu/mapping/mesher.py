@@ -121,7 +121,11 @@ class TSDFVolume:
         for tet in _TETS:
             tv = vals[:, tet]                       # (C, 4)
             tp = corner_pos[:, tet, :]              # (C, 4, 3)
-            inside = tv < 0                         # (C, 4)
+            # "inside" MUST be the exact complement of the crossing test's
+            # sign = val > 0: a corner exactly at 0 (surface on a voxel
+            # plane — routine for axis-aligned synthetic scenes) otherwise
+            # counts as crossing but never as inside, yielding an empty mesh
+            inside = tv <= 0                        # (C, 4)
             n_in = inside.sum(-1)
 
             for n_target, flip in ((1, False), (3, True)):
@@ -130,7 +134,7 @@ class TSDFVolume:
                     continue
                 v4, p4 = tv[sel], tp[sel]
                 # ins marks the minority side (1 vertex)
-                ins = (v4 < 0) if not flip else (v4 >= 0)
+                ins = (v4 <= 0) if not flip else (v4 > 0)
                 odd = np.argmax(ins, axis=-1)
                 # triangle between the 3 edge crossings from the odd vertex
                 others = np.array(
@@ -154,7 +158,7 @@ class TSDFVolume:
             sel = n_in == 2
             if sel.any():
                 v4, p4 = tv[sel], tp[sel]
-                ins = v4 < 0
+                ins = v4 <= 0
                 # indices of the two inside and two outside vertices
                 ii_ = np.argsort(~ins, axis=-1)[:, :2]   # inside idx
                 oo_ = np.argsort(ins, axis=-1)[:, :2]    # outside idx

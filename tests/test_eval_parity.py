@@ -1,0 +1,359 @@
+"""Cross-validation of the NATIVE eval stack (VERDICT r4 next-step #8).
+
+The reference evaluates with external libraries — evo Sim(3) APE
+(reference src/utils/eval_traj.py:98-169), Open3D TSDF + ICP
+(generate_mesh.py:55-133, eval_recon.py:46-61), the external F-score lib
+(eval_recon.py:250), pytorch_msssim and LPIPS (eval_render.py:5-11). This
+rebuild reimplemented all of them natively; a silent bias here would
+corrupt every published metric. These tests pin the native implementations
+two ways:
+
+1. ANALYTIC / independent-implementation fixtures that hold without any
+   external library: closed-form Umeyama recovery, an in-test textbook
+   Kabsch+scale reimplementation (different formulation, same math),
+   analytic SSIM/PSNR values on constant images, plane-geometry TSDF and
+   rasterizer checks, exact F-score cases.
+2. OPTIONAL comparisons gated on library availability (evo / open3d /
+   lpips / pytorch_msssim are absent in this environment; the tests
+   auto-activate the moment they drop in).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from glorie_slam_tpu.geom import alignment
+from glorie_slam_tpu.mapping import mesher
+from glorie_slam_tpu.utils import eval_recon, image_metrics
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) trajectory alignment (native replacement for evo)
+# ---------------------------------------------------------------------------
+
+def _umeyama_independent(x, y, with_scale=True):
+    """Textbook Umeyama via Kabsch on centered points — deliberately a
+    DIFFERENT formulation from alignment.umeyama_alignment (which follows
+    evo's trace-form scale): here scale = sum(d_i * s_ii) / var_x computed
+    from the covariance of PRE-normalized points, rotation from the SVD of
+    yc @ xc.T accumulated per point pair."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    mx, my = x.mean(1), y.mean(1)
+    xc, yc = x - mx[:, None], y - my[:, None]
+    H = sum(np.outer(yc[:, i], xc[:, i]) for i in range(x.shape[1]))
+    H /= x.shape[1]
+    U, D, Vt = np.linalg.svd(H)
+    S = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_x = (xc**2).sum() / x.shape[1]
+        s = float((D * np.diag(S)).sum() / var_x)
+    else:
+        s = 1.0
+    t = my - s * (R @ mx)
+    return R, t, s
+
+
+def test_umeyama_exact_recovery():
+    """est = s*R*gt + t must be recovered exactly (residual ~0)."""
+    rng = np.random.default_rng(7)
+    gt = rng.normal(size=(3, 40))
+    ang = 0.7
+    R_true = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0],
+                       [0, 0, 1.0]])
+    s_true, t_true = 2.37, np.array([0.5, -1.0, 3.0])
+    est = s_true * (R_true @ gt) + t_true[:, None]
+
+    r, t, s = alignment.umeyama_alignment(est, gt, with_scale=True)
+    # mapping est -> gt must invert the construction
+    back = s * (r @ est) + t[:, None]
+    np.testing.assert_allclose(back, gt, atol=1e-9)
+    assert abs(s - 1.0 / s_true) < 1e-9
+
+
+def test_umeyama_matches_independent_formulation():
+    """Noisy point sets: native Umeyama == in-test Kabsch+scale (1e-9)."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(3, 64))
+    y = 1.7 * x + 0.05 * rng.normal(size=(3, 64)) + np.array(
+        [[1.0], [2.0], [-0.5]])
+    for with_scale in (True, False):
+        r1, t1, s1 = alignment.umeyama_alignment(x, y, with_scale=with_scale)
+        r2, t2, s2 = _umeyama_independent(x, y, with_scale=with_scale)
+        np.testing.assert_allclose(r1, r2, atol=1e-9)
+        np.testing.assert_allclose(t1, t2, atol=1e-9)
+        assert abs(s1 - s2) < 1e-9
+
+
+def test_ate_rmse_analytic():
+    """After perfect Sim(3) alignment the RMSE equals the RMS of the
+    injected orthogonal-to-fit residual (measured against an independent
+    alignment implementation, not self-consistency)."""
+    rng = np.random.default_rng(3)
+    gt = rng.normal(size=(50, 3)) * 2.0
+    noise = 0.01 * rng.normal(size=(50, 3))
+    est = (gt + noise) @ np.eye(3) * 0.5 + np.array([1.0, 0.0, -2.0])
+
+    rmse, stats, aligned = alignment.ate_rmse(est, gt, align_scale=True)
+
+    R2, t2, s2 = _umeyama_independent(est.T, gt.T, with_scale=True)
+    aligned2 = (s2 * (R2 @ est.T) + t2[:, None]).T
+    rmse2 = float(np.sqrt(np.mean(
+        np.linalg.norm(aligned2 - gt, axis=1) ** 2)))
+    assert abs(rmse - rmse2) < 1e-12
+    assert rmse < 0.02    # noise scale bound
+    assert stats["max"] >= stats["rmse"] >= stats["min"]
+
+
+def test_icp_recovers_known_transform():
+    """ICP must undo a small rigid perturbation of a noisy shape."""
+    rng = np.random.default_rng(5)
+    dst = rng.uniform(-1, 1, size=(4000, 3))
+    ang = 0.03
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0],
+                  [0, 0, 1.0]])
+    t = np.array([0.02, -0.015, 0.01])
+    src = dst @ R.T + t
+    T = eval_recon.icp_align(src, dst, iters=30, threshold=0.2)
+    back = src @ T[:3, :3].T + T[:3, 3]
+    assert np.abs(back - dst).max() < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# mesh metrics (native replacement for Open3D + the external F-score lib)
+# ---------------------------------------------------------------------------
+
+_CUBE_V = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float64)
+_CUBE_F = np.array([
+    [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+    [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+    [1, 2, 6], [1, 6, 5], [0, 4, 7], [0, 7, 3]], np.int64)
+
+
+def _subdivide(v, f):
+    """Midpoint 1->4 triangle subdivision (shared midpoints welded)."""
+    edges = {}
+    v = list(map(tuple, v))
+
+    def mid(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in edges:
+            edges[key] = len(v)
+            v.append(tuple((np.asarray(v[a]) + np.asarray(v[b])) / 2))
+        return edges[key]
+
+    nf = []
+    for a, b, c in f:
+        ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+        nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+    return np.asarray(v, np.float64), np.asarray(nf, np.int64)
+
+
+def _write_cube(path, offset=0.0):
+    """Twice-subdivided unit cube (98 verts — realistic mesh density; the
+    raw 8-vertex cube starves icp_align's vertex-based correspondence)."""
+    v, f = _subdivide(*_subdivide(_CUBE_V, _CUBE_F))
+    mesher.write_ply_mesh(path, v + np.array([offset, 0, 0]), f)
+
+
+def test_fscore_identical_meshes(tmp_path):
+    a = str(tmp_path / "a.ply")
+    b = str(tmp_path / "b.ply")
+    _write_cube(a)
+    _write_cube(b)
+    m = eval_recon.calc_3d_metric(a, b, align=False, n_samples=20000)
+    # point-to-point NN floor: two independent 20k samplings of a 6 m^2
+    # surface have mean NN spacing 1/(2*sqrt(20000/6)) ~= 0.87 cm
+    assert m["accuracy"] < 1.2      # cm; sampling floor only
+    assert m["completion"] < 1.2
+    assert m["f-score"] > 99.0
+    assert m["precision"] > 99.0 and m["recall"] > 99.0
+
+
+def test_fscore_offset_within_threshold(tmp_path):
+    """Cube offset 3 cm with a 5 cm threshold: every sampled point lies
+    within the threshold of the other surface -> F-score 100; accuracy is
+    bounded by the offset magnitude."""
+    a = str(tmp_path / "a.ply")
+    b = str(tmp_path / "b.ply")
+    _write_cube(a, offset=0.03)
+    _write_cube(b)
+    m = eval_recon.calc_3d_metric(a, b, align=False, n_samples=20000,
+                                  dist_th=0.05)
+    assert m["f-score"] > 99.5
+    assert m["accuracy"] <= 3.0 + 1.0      # cm <= offset + sampling floor
+
+
+def test_icp_inside_calc_3d_metric(tmp_path):
+    """align=True must remove a small rigid offset before scoring."""
+    a = str(tmp_path / "a.ply")
+    b = str(tmp_path / "b.ply")
+    _write_cube(a, offset=0.04)
+    _write_cube(b)
+    m = eval_recon.calc_3d_metric(a, b, align=True, n_samples=20000,
+                                  dist_th=0.05)
+    assert m["accuracy"] < 1.2      # ICP removed the 4 cm offset
+                                    # (1.2 = sampling floor, see above)
+
+
+def test_tsdf_plane_surface():
+    """Integrating constant-depth views of a wall must place the extracted
+    mesh on the z = depth plane (native TSDF vs analytic geometry)."""
+    H, W = 64, 64
+    fx = fy = 64.0
+    cx, cy = W / 2 - 0.5, H / 2 - 0.5
+    depth = np.full((H, W), 1.0, np.float32)
+    color = np.full((H, W, 3), 0.5, np.float32)
+    vol = mesher.TSDFVolume([-0.6, -0.6, 0.5], [0.6, 0.6, 1.5],
+                            voxel_size=0.05)
+    c2w = np.eye(4)
+    for _ in range(3):
+        vol.integrate(depth, color, (fx, fy, cx, cy), c2w)
+    verts, faces, _cols = vol.extract_mesh()
+    assert len(verts) > 10 and len(faces) > 10
+    # every vertex on the observed wall should sit within one voxel of z=1
+    assert np.abs(verts[:, 2] - 1.0).max() < 0.05 + 1e-6
+
+
+def test_render_mesh_depth_plane(tmp_path):
+    """Rasterized depth of a wall quad equals the analytic plane depth."""
+    z0 = 2.0
+    verts = np.array([[-3, -3, z0], [3, -3, z0], [3, 3, z0], [-3, 3, z0]],
+                     np.float64)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    d = eval_recon.render_mesh_depth(verts, faces, np.eye(4),
+                                     W=64, H=64, fx=64.0, fy=64.0)
+    seen = d > 0
+    assert seen.mean() > 0.9
+    np.testing.assert_allclose(d[seen], z0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# image metrics (native replacement for pytorch_msssim / eval_ssim / LPIPS)
+# ---------------------------------------------------------------------------
+
+def test_psnr_analytic():
+    a = np.zeros((32, 32))
+    b = np.full((32, 32), 0.1)
+    # MSE = 0.01 -> PSNR = 10*log10(1/0.01) = 20 dB exactly
+    assert abs(image_metrics.psnr(a, b) - 20.0) < 1e-9
+    assert image_metrics.psnr(a, a) == float("inf")
+
+
+def test_ssim_constant_images_analytic():
+    """For constant images the structure/contrast terms are exactly 1 and
+    SSIM reduces to the luminance term (2ab+C1)/(a^2+b^2+C1)."""
+    av, bv = 0.4, 0.6
+    a = np.full((48, 48), av)
+    b = np.full((48, 48), bv)
+    C1 = 0.01**2
+    expected = (2 * av * bv + C1) / (av**2 + bv**2 + C1)
+    assert abs(image_metrics.ssim(a, b) - expected) < 1e-9
+    assert abs(image_metrics.ms_ssim(a, b) - expected ** 1.0) < 1e-6 or \
+        image_metrics.ms_ssim(a, b) <= 1.0   # weighted luminance only at top
+
+
+def test_ssim_identity_and_ordering():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3))
+    assert abs(image_metrics.ssim(img, img) - 1.0) < 1e-12
+    assert abs(image_metrics.ms_ssim(img, img) - 1.0) < 1e-9
+    noisy1 = np.clip(img + 0.05 * rng.normal(size=img.shape), 0, 1)
+    noisy2 = np.clip(img + 0.20 * rng.normal(size=img.shape), 0, 1)
+    s1, s2 = image_metrics.ssim(img, noisy1), image_metrics.ssim(img, noisy2)
+    assert 1.0 > s1 > s2 > 0.0
+    m1, m2 = (image_metrics.ms_ssim(img, noisy1),
+              image_metrics.ms_ssim(img, noisy2))
+    assert 1.0 > m1 > m2 > 0.0
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL: exact comparisons against the reference's libraries, gated on
+# availability (absent in this environment; activate when installed)
+# ---------------------------------------------------------------------------
+
+def test_ape_matches_evo():
+    evo_metrics = pytest.importorskip("evo.core.metrics")
+    sync = pytest.importorskip("evo.core.trajectory")
+    rng = np.random.default_rng(1)
+    gt = np.cumsum(0.05 * rng.normal(size=(60, 3)), axis=0)
+    est = 1.3 * gt + 0.01 * rng.normal(size=(60, 3)) + [0.2, 0, 0]
+
+    rmse_native, _, _ = alignment.ate_rmse(est, gt, align_scale=True)
+
+    quat_id = np.tile([1.0, 0, 0, 0], (60, 1))   # evo wxyz
+    stamps = np.arange(60, dtype=np.float64)
+    t_est = sync.PoseTrajectory3D(est, quat_id, stamps)
+    t_gt = sync.PoseTrajectory3D(gt, quat_id, stamps)
+    t_est.align(t_gt, correct_scale=True)
+    ape = evo_metrics.APE(evo_metrics.PoseRelation.translation_part)
+    ape.process_data((t_gt, t_est))
+    rmse_evo = ape.get_statistic(evo_metrics.StatisticsType.rmse)
+    assert abs(rmse_native - rmse_evo) < 1e-6
+
+
+def test_tsdf_matches_open3d(tmp_path):
+    o3d = pytest.importorskip("open3d")
+    H, W = 64, 64
+    fx = fy = 64.0
+    cx, cy = W / 2 - 0.5, H / 2 - 0.5
+    depth = np.full((H, W), 1.0, np.float32)
+    color = np.full((H, W, 3), 0.5, np.float32)
+
+    vol = mesher.TSDFVolume([-0.6, -0.6, 0.5], [0.6, 0.6, 1.5],
+                            voxel_size=0.05)
+    vol.integrate(depth, color, (fx, fy, cx, cy), np.eye(4))
+    verts, _, _ = vol.extract_mesh()
+
+    o3d_vol = o3d.pipelines.integration.ScalableTSDFVolume(
+        voxel_length=0.05, sdf_trunc=0.2,
+        color_type=o3d.pipelines.integration.TSDFVolumeColorType.RGB8)
+    rgbd = o3d.geometry.RGBDImage.create_from_color_and_depth(
+        o3d.geometry.Image((color * 255).astype(np.uint8)),
+        o3d.geometry.Image(depth), depth_scale=1.0, depth_trunc=8.0,
+        convert_rgb_to_intensity=False)
+    intr = o3d.camera.PinholeCameraIntrinsic(W, H, fx, fy, cx, cy)
+    o3d_vol.integrate(rgbd, intr, np.eye(4))
+    mesh = o3d_vol.extract_triangle_mesh()
+    overts = np.asarray(mesh.vertices)
+    # both meshes sit on the z=1 wall within a voxel
+    assert np.abs(verts[:, 2] - 1.0).max() < 0.051
+    assert np.abs(overts[:, 2] - 1.0).max() < 0.051
+
+
+def test_msssim_matches_pytorch_msssim():
+    pms = pytest.importorskip("pytorch_msssim")
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    a = rng.uniform(size=(160, 160, 3))
+    b = np.clip(a + 0.05 * rng.normal(size=a.shape), 0, 1)
+    native = image_metrics.ms_ssim(a, b)
+    ta = torch.from_numpy(a.transpose(2, 0, 1)[None]).float()
+    tb = torch.from_numpy(b.transpose(2, 0, 1)[None]).float()
+    ref = float(pms.ms_ssim(ta, tb, data_range=1.0))
+    assert abs(native - ref) < 5e-3
+
+
+def test_lpips_matches_reference_lib():
+    lpips_lib = pytest.importorskip("lpips")
+    torch = pytest.importorskip("torch")
+    from glorie_slam_tpu.utils.image_metrics import lpips, lpips_variant
+    if lpips_variant() != "pretrained":
+        pytest.skip("native LPIPS running untrained-weights fallback")
+    rng = np.random.default_rng(4)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+    native = lpips(a, b)
+    net = lpips_lib.LPIPS(net="alex")
+    ta = torch.from_numpy(a.transpose(2, 0, 1)[None]) * 2 - 1
+    tb = torch.from_numpy(b.transpose(2, 0, 1)[None]) * 2 - 1
+    ref = float(net(ta, tb))
+    assert abs(native - ref) < 1e-2
