@@ -80,7 +80,11 @@ def main():
     t_w = time.perf_counter()
     from glorie_slam_tpu.utils.warmup import warm_pipeline
 
-    warm_pipeline(cfg, tn, video, max_keyframes=N_FRAMES)
+    class _Log:
+        def print(self, msg, subsystem=None):
+            print(msg, file=sys.stderr, flush=True)
+
+    warm_pipeline(cfg, tn, video, max_keyframes=N_FRAMES, printer=_Log())
     print(f"[bench] warm-up: {time.perf_counter() - t_w:.0f}s",
           file=sys.stderr, flush=True)
 

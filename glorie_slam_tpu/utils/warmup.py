@@ -22,10 +22,37 @@ per run.
 import hashlib
 import json
 import os
+import time
 
 import numpy as np
 
 from .buckets import _LADDER, bucket
+
+
+def _retry_transient(fn, attempts=4, log=None):
+    """Run ``fn``, retrying on transient remote-compile transport errors.
+
+    The axon remote-compile tunnel occasionally drops a response mid-body
+    ("response body closed before all bytes were read"); one such flake
+    during the warm-up would otherwise abort the whole run before frame 0.
+    Only errors that look like transport/compile-service flakes are
+    retried; real program errors re-raise immediately. The ghost pipeline
+    is shape-driven, so re-running a partially applied step is harmless.
+    """
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered by message below
+            msg = str(e)
+            transient = ("remote_compile" in msg or "response body" in msg
+                         or "DEADLINE_EXCEEDED" in msg
+                         or "UNAVAILABLE" in msg)
+            if not transient or k == attempts - 1:
+                raise
+            if log is not None:
+                log(f"[warm] transient compile-transport error "
+                    f"(attempt {k + 1}/{attempts}): {msg[:120]}")
+            time.sleep(2.0 * (k + 1))
 
 
 def _profile_path(cfg, root=None):
@@ -160,7 +187,7 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
     # bootstrap: init shapes + small steady-state rounds
     log("[warm] bootstrap")
     for _ in range(fe.warmup + 3):
-        step()
+        _retry_transient(step, log=log)
 
     window = fe.frontend_window
     top = min(max_keyframes, video.buffer)
@@ -180,8 +207,8 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
         ts[0] = R - 2
         fe.graph.clear_edges()  # window-local edges, as in steady state
         log(f"[warm] rung {R}")
-        step()
-        step()
+        _retry_transient(step, log=log)
+        _retry_transient(step, log=log)
 
     # the global dense BA's shape signature — depth-scale frame bucket P,
     # pow2-padded proposal grid, lowmem chunk-count bucket, edge-capacity
@@ -209,14 +236,14 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
         video.counter = c
         fe.t1 = c
         log(f"[warm] dense_ba @ {c}")
-        ba.dense_ba(2)
+        _retry_transient(lambda: ba.dense_ba(2), log=log)
 
     # terminate-phase shapes: the full-resolution multiview mask refresh
     # (lazy; first real read happens at save_video/eval with nearly every
     # frame dirty)
     log("[warm] full-res mask refresh")
     video.dirty[:video.counter] = True
-    _ = video.valid_depth_mask
+    _retry_transient(lambda: video.valid_depth_mask, log=log)
 
     # hand the ghost's sticky shape high-waters (utils/buckets.sticky_bucket:
     # E_pad / Dmax / kpad ladders) to the REAL video: the real run then
