@@ -17,6 +17,8 @@ from glorie_slam_tpu.mapping.async_worker import AsyncMapper, VideoSnapshot
 
 from synthetic import SyntheticStream, base_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 def _capture(view, video_idx):
     """The read surface Mapper.on_keyframe consumes, as numpy."""

@@ -6,6 +6,8 @@ import pytest
 
 from glorie_slam_tpu.geom import ba, lie, projective
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 def make_scene(N=6, ht=12, wd=16, seed=3, noise=0.03):
     rng = np.random.default_rng(seed)

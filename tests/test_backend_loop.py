@@ -18,6 +18,8 @@ from glorie_slam_tpu.nets.tracker_net import TrackerNet
 from glorie_slam_tpu.tracking.backend import Backend
 from synthetic import SyntheticStream, base_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 N_KF = 28  # needs > 21 so the si - sj > 20 loop rule can fire
 
 

@@ -18,6 +18,8 @@ from glorie_slam_tpu.nets.tracker_net import TrackerNet
 from glorie_slam_tpu.tracking.tracker import Tracker
 from glorie_slam_tpu.utils import checkpoint as ckpt
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 class _Truncated:
     """Length-limited view of a stream (same frames, shorter len)."""

@@ -28,6 +28,8 @@ from glorie_slam_tpu.geom import alignment
 from glorie_slam_tpu.mapping import mesher
 from glorie_slam_tpu.utils import eval_recon, image_metrics
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 # ---------------------------------------------------------------------------
 # Sim(3) trajectory alignment (native replacement for evo)

@@ -22,6 +22,8 @@ from glorie_slam_tpu.nets.tracker_net import TrackerNet
 from glorie_slam_tpu.tracking.fused import graph_update_rounds
 from synthetic import SyntheticStream, base_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 @pytest.fixture(scope="module")
 def stream():

@@ -14,6 +14,8 @@ from glorie_slam_tpu.tracking.motion_filter import MotionFilter
 from glorie_slam_tpu.tracking.trajectory_filler import PoseTrajectoryFiller
 from synthetic import SyntheticStream, base_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 @pytest.fixture(scope="module")
 def stream():

@@ -2,6 +2,7 @@
 sequential rm_factors(store=True); add_factors(remove=True) path bit-for-bit
 on every buffer and on the host bookkeeping arrays."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -9,6 +10,8 @@ from glorie_slam_tpu.core.depth_video import DepthVideo
 from glorie_slam_tpu.core.factor_graph import FactorGraph
 from glorie_slam_tpu.nets.tracker_net import TrackerNet
 from synthetic import SyntheticStream, base_cfg
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
 
 
 def _build(n=7, max_factors=14, seed=3):

@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 _ART = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "logs", "mapper_sched_r03.json")
 

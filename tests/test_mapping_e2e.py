@@ -17,6 +17,8 @@ from synthetic import SyntheticStream, base_cfg
 from glorie_slam_tpu.core.depth_video import DepthVideo
 from glorie_slam_tpu.geom import lie
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 class _SlamShim:
     """Minimal SLAM-like facade the Mapper needs."""

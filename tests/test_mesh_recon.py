@@ -6,6 +6,8 @@ import pytest
 from glorie_slam_tpu.mapping import mesher
 from glorie_slam_tpu.utils import eval_recon
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 def render_sphere_depth(c2w, W=80, H=60, f=60.0, center=(0, 0, 0), r=1.0):
     """Analytic depth image of a sphere from a CV-convention camera."""

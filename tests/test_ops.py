@@ -339,6 +339,8 @@ def test_feats_pyramid_kernel_interpret_matches_fallback():
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 @pytest.mark.parametrize("h0,w0,tile_mult", [
     (32, 32, 512),   # Replica-bench-like: 512-px tiles, banded at level 0

@@ -15,6 +15,8 @@ from glorie_slam_tpu.parallel.step import tracking_step
 
 import __graft_entry__ as graft
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 EDGE_KEYS = ("net", "inp", "target", "ii", "jj", "kk", "edge_mask")
 REP_KEYS = ("params", "poses", "disps", "intrinsics", "eta", "sensor_disps",

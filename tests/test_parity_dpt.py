@@ -22,6 +22,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 REF = "/root/reference"
 SIZE = 128  # inference side; multiple of 32, pos_embed resized 24x24 -> 8x8
 

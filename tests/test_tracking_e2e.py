@@ -20,6 +20,8 @@ from glorie_slam_tpu.core.factor_graph import FactorGraph
 from glorie_slam_tpu.geom import alignment, lie, projective
 from synthetic import SyntheticStream, base_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the quick tier
+
 
 @pytest.fixture(scope="module")
 def stream():
