@@ -116,6 +116,13 @@ def main():
         print(f"[bench] frame {i}: {times[-1]:.2f}s", file=sys.stderr,
               flush=True)
 
+    # persist the REAL run's sticky high-waters (not just the ghost's):
+    # the committed shape profile then pre-seeds the exact buckets this
+    # trajectory produces on every machine
+    from glorie_slam_tpu.utils.warmup import save_shape_profile
+
+    save_shape_profile(cfg, video)
+
     steady = sorted(times[-N_STEADY:])
     # median of the steady window: robust to the occasional straggler
     # frame (a late shape-ladder recompile inflates a single frame by

@@ -50,13 +50,20 @@ def sticky_bucket(video, site, name, val, cap=0):
     High-waters live on the VIDEO (keyed by ``(site, name)``), so
     per-call FactorGraph recreations (backend.py loop_ba) share one
     ladder. ``cap``: optional ceiling (the old cap value) so a
-    pathological burst can never exceed the previously-guaranteed shape."""
+    pathological burst can never exceed the previously-guaranteed shape —
+    but a high-water ALREADY ABOVE the cap is honored: it can only be
+    there because a previous run (via the shape profile, utils/warmup.py)
+    or an earlier frame legitimately reached it, and clamping it back
+    re-walks the growth ladder through fresh compiles the warm-up already
+    paid for (r5 bench: E_pad 80->88->96->104 recompiling the fused
+    rounds program on four consecutive frames under a seeded hw of 104)."""
     hw = getattr(video, "_shape_hw", None)
     if hw is None:
         hw = video._shape_hw = {}
     key = (site, name)
-    out = max(val, hw.get(key, 0))
+    prev = hw.get(key, 0)
+    out = max(val, prev)
     if cap:
-        out = min(out, max(cap, val))
+        out = min(out, max(cap, val, prev))
     hw[key] = out
     return out

@@ -70,7 +70,11 @@ def _profile_path(cfg, root=None):
          "tracking": cfg.get("tracking", {})},
         sort_keys=True, default=str)
     h = hashlib.sha1(key.encode()).hexdigest()[:12]
-    d = os.path.join(root, ".jax_cache", "shape_profiles")
+    # NOT under .jax_cache (which is machine-keyed and gitignored): profiles
+    # are pure shape information, so committing them ships real-run
+    # high-waters to fresh machines — the ghost warm-up then compiles the
+    # exact programs the real run needs even on a cold compile cache
+    d = os.path.join(root, "shape_profiles")
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, f"{h}.json")
 
@@ -191,7 +195,12 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
 
     window = fe.frontend_window
     top = min(max_keyframes, video.buffer)
-    rungs = [r for r in _LADDER if window + 2 < r <= top]
+    # every ladder crossing ABOVE the bootstrap counter: the frame bucket
+    # P = bucket(counter) changes at 16 and 24 long before the frontend
+    # window fills, and the r5 bench showed each unprobed early crossing
+    # costing 60s+ of mid-run compiles (frames 8-19)
+    boot = fe.warmup + 3
+    rungs = [r for r in _LADDER if boot < r <= top]
     if top not in rungs:
         # the run's final stretch sits ABOVE the last ladder rung (e.g.
         # 420 keyframes with rungs ...384): its P = bucket(counter) shapes
@@ -228,8 +237,14 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
         return (bucket(c), _pow2_grid(c), bucket(max(1, -(-c // 8))),
                 bucket((radius + 2) * 2 * c))
 
+    # probe from the EARLIEST counter the online BA can fire at
+    # (tracker.py: curr_kf >= ba_freq), not from past the frontend window —
+    # the first dense_ba of a run lands at ~ba_freq keyframes and its
+    # signature (frame bucket 16, small pow2 grid) is otherwise never warmed
+    ba_freq = int(cfg["tracking"].get("backend", {}).get("ba_freq", 20))
+    lo = max(boot, min(ba_freq, window + 3))
     seen = set()
-    for c in range(window + 3, top + 1):
+    for c in range(lo, top + 1):
         if _sig(c) in seen:
             continue
         seen.add(_sig(c))
