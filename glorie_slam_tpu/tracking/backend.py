@@ -26,6 +26,7 @@ class Backend:
         self.backend_loop_thresh = bcfg["loop_thresh"]
         self.backend_loop_radius = bcfg["loop_radius"]
         self.backend_loop_nms = bcfg["loop_nms"]
+        self.loop_max_factors = int(bcfg.get("loop_max_factors", 0) or 0)
         # loop_ba runs EVERY keyframe past the window (frontend.py:66-69 in
         # the reference); routing its steps through the fused rounds program
         # turns steps x (per-chunk GRU dispatch + BA dispatch + upsample)
@@ -101,7 +102,11 @@ class Backend:
         """Windowed loop closure (reference backend.py:73-97)."""
         radius = self.backend_loop_radius
         window = self.backend_loop_window
-        max_factors = 8 * window
+        # loop_max_factors: optional cap override (reference backend.py:77
+        # hardcodes 8*window). The ghost warm-up sets it to the shape
+        # profile's loop-site maximum so its degenerate-geometry proposals
+        # compile the SAME loop programs the real run dispatches.
+        max_factors = int(self.loop_max_factors or 8 * window)
         nms = self.backend_loop_nms
         thresh = self.backend_loop_thresh
         t_start_loop = max(0, t_end - window)

@@ -66,4 +66,16 @@ def sticky_bucket(video, site, name, val, cap=0):
     if cap:
         out = min(out, max(cap, val, prev))
     hw[key] = out
+    # true-usage high-water, UNAFFECTED by seeding: the raw bucket this call
+    # would have needed on its own. The saved shape profile reads this dict
+    # (utils/warmup.save_shape_profile), so a seed inflated by the ghost
+    # warm-up's degenerate geometry (identity poses -> zero distances ->
+    # maximal proposals) can never leak into the profile and ratchet every
+    # future run's padding upward (r5 bench: the loop site pinned at 224
+    # rows from frame 0 while the real trajectory needed ~128, +20% steady
+    # frame cost).
+    used = getattr(video, "_shape_used", None)
+    if used is None:
+        used = video._shape_used = {}
+    used[key] = max(used.get(key, 0), min(val, out))
     return out

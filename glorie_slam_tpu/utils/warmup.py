@@ -100,6 +100,15 @@ def load_shape_profile(cfg, video, root=None):
     n = 0
     for k, v in prof.items():
         site, _, name = k.partition("|")
+        # sticky_bucket keys use TUPLE sites (e.g. ("plain", 16)); the file
+        # stores their repr — restore the tuple or the entry never matches
+        # a lookup and the seed is silently dead
+        if site.startswith("("):
+            import ast
+            try:
+                site = ast.literal_eval(site)
+            except (ValueError, SyntaxError):
+                pass
         key = (site, name)
         if v > hw.get(key, 0):
             hw[key] = int(v)
@@ -108,8 +117,14 @@ def load_shape_profile(cfg, video, root=None):
 
 
 def save_shape_profile(cfg, video, root=None):
-    """Merge ``video``'s sticky high-waters into the saved profile."""
-    hw = getattr(video, "_shape_hw", None)
+    """Merge ``video``'s TRUE-USAGE shape high-waters into the saved profile.
+
+    Reads ``_shape_used`` (the raw per-call requirement,
+    utils/buckets.sticky_bucket), NOT ``_shape_hw``: the latter includes
+    seeded values, so saving it would ratchet profile entries up forever
+    (and let the ghost warm-up's degenerate-geometry inflation leak into
+    every future run's padding)."""
+    hw = getattr(video, "_shape_used", None)
     if not hw:
         return
     path = _profile_path(cfg, root)
@@ -146,6 +161,8 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
     ``real_video``: the run's live DepthVideo — receives the ghost's sticky
     shape high-waters afterwards so the real run starts on the warmed rungs.
     """
+    import copy
+
     import jax.numpy as jnp
 
     from ..core.depth_video import DepthVideo
@@ -156,21 +173,39 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
     tn = tracker_net
     H, W = cfg["cam"]["H_out"], cfg["cam"]["W_out"]
 
-    video = DepthVideo(cfg)
-    # pre-seed the ghost's sticky high-waters from the saved shape profile
-    # (and anything the real video already reached, e.g. on resume): the
-    # ghost then compiles the final-rung programs directly instead of
-    # paying compiles at intermediate growth rungs the real run never uses
-    load_shape_profile(cfg, video, root=profile_root)
-    real_hw0 = getattr(real_video, "_shape_hw", None) or {}
-    ghost_hw = getattr(video, "_shape_hw", None)
-    if ghost_hw is None:
-        ghost_hw = video._shape_hw = {}
-    for k, v in real_hw0.items():
-        ghost_hw[k] = max(ghost_hw.get(k, 0), v)
-    mf = MotionFilter(tn, video, cfg, thresh=-1.0)  # always admit
-    fe = Frontend(tn, video, cfg)
-    ba = Backend(tn, video, cfg)
+    # seed the REAL run's sticky high-waters from the saved profile (true
+    # per-call usage maxima of a previous real run — buckets.sticky_bucket).
+    # Pinned from frame 0, the run's hot shapes are CONSTANT, so the ghost
+    # below compiles exactly the programs the run will dispatch and no
+    # growth-rung recompile can stall the trajectory (r5 bench: the
+    # inactive-pool pad crossing 88->96->104->128 mid-run cost three
+    # consecutive ~60 s compile frames that the ghost had never probed).
+    n_seed = load_shape_profile(cfg, real_video, root=profile_root)
+
+    # the ghost's proposals run on degenerate geometry (identity poses ->
+    # zero distances -> every candidate admitted), so UNCLAMPED it builds
+    # maximal loop graphs (8*window edges) and compiles programs the real
+    # run never uses. With a profile, cap the ghost's loop graph at the
+    # real-run loop-site maximum so its compiles match the real shapes.
+    gcfg = cfg
+    if n_seed:
+        prof_hw = getattr(real_video, "_shape_hw", {})
+        plain_cap = 0
+        for k, v in prof_hw.items():
+            if k[1] == "E_pad" and "plain" in str(k[0]):
+                plain_cap = max(plain_cap, v)
+        if plain_cap:
+            gcfg = copy.deepcopy(cfg)
+            gcfg["tracking"]["backend"]["loop_max_factors"] = int(plain_cap)
+
+    video = DepthVideo(gcfg)
+    # ghost sticky seeds = the real run's (profile + anything the real
+    # video already reached, e.g. on resume) so ghost and real pad alike
+    ghost_hw = video._shape_hw = dict(
+        getattr(real_video, "_shape_hw", None) or {})
+    mf = MotionFilter(tn, video, gcfg, thresh=-1.0)  # always admit
+    fe = Frontend(tn, video, gcfg)
+    ba = Backend(tn, video, gcfg)
     intr = np.array([0.6 * W, 0.6 * W, W / 2.0, H / 2.0], np.float32)
 
     rng = np.random.default_rng(0)
@@ -260,16 +295,20 @@ def warm_pipeline(cfg, tracker_net, real_video, max_keyframes, printer=None,
     video.dirty[:video.counter] = True
     _retry_transient(lambda: video.valid_depth_mask, log=log)
 
-    # hand the ghost's sticky shape high-waters (utils/buckets.sticky_bucket:
-    # E_pad / Dmax / kpad ladders) to the REAL video: the real run then
-    # starts at the rungs the ghost already compiled instead of re-walking
-    # the growth ladder through fresh (cache-hit but still dispatch-stalling)
-    # shape keys
+    # hand the ghost's sticky high-waters to the REAL video so the real run
+    # starts on the rungs the ghost compiled — but ONLY where the real video
+    # has no profile seed: a profile entry is a true real-run maximum, while
+    # the ghost's own growth is inflated by its degenerate geometry (all
+    # candidates admitted), and overwriting the seed with it would pin every
+    # frame at phantom sizes (the r5 bench regression: loop site 224 vs the
+    # real ~128, +20% steady frame cost). The ghost's own usage is NOT saved
+    # to the profile for the same reason — only real runs write it
+    # (bench.py / SLAM.run via save_shape_profile).
     hw = getattr(video, "_shape_hw", None)
     if hw:
         real_hw = getattr(real_video, "_shape_hw", None)
         if real_hw is None:
             real_hw = real_video._shape_hw = {}
         for k, v in hw.items():
-            real_hw[k] = max(real_hw.get(k, 0), v)
-        save_shape_profile(cfg, video, root=profile_root)
+            if k not in real_hw:
+                real_hw[k] = v
