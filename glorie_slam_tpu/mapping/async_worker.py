@@ -20,6 +20,7 @@ tests/test_async_mapper.py).
 
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -104,6 +105,12 @@ class AsyncMapper:
         self.printer = printer
         self._q = queue.Queue(maxsize=queue_size)
         self._exc = None
+        # overlap telemetry (read by scripts/long_run_synthetic.py):
+        # mapped = jobs completed; busy_s = worker wall time inside the
+        # mapper; lag_s = snapshot-to-start queue delays (how far mapping
+        # trails tracking); block_s = tracker time lost to a full queue
+        self.stats = {"mapped": 0, "busy_s": 0.0, "lag_s": [],
+                      "block_s": 0.0}
         self._thread = threading.Thread(
             target=self._run, name="mapper-worker", daemon=True)
         self._thread.start()
@@ -115,7 +122,9 @@ class AsyncMapper:
         if frame_info.get("end"):
             self.join()
             return
-        self._q.put((frame_info, VideoSnapshot(self.video)))
+        t0 = time.perf_counter()
+        self._q.put((frame_info, VideoSnapshot(self.video), t0))
+        self.stats["block_s"] += time.perf_counter() - t0
 
     def quiesce(self):
         """Block until all queued mapping jobs finish; the worker stays
@@ -140,16 +149,20 @@ class AsyncMapper:
             item = self._q.get()
             if item is None:
                 return
-            frame_info, snap = item
+            frame_info, snap, t_snap = item
+            t_start = time.perf_counter()
+            self.stats["lag_s"].append(t_start - t_snap)
             live = self.mapper.video
             self.mapper.video = snap
             try:
                 self.mapper.on_keyframe(frame_info)
+                self.stats["mapped"] += 1
             except Exception as e:  # noqa: BLE001 - surfaced to tracker
                 self._exc = e
                 if self.printer is not None:
                     self.printer.print(f"mapper worker failed: {e}",
                                        subsystem="error")
             finally:
+                self.stats["busy_s"] += time.perf_counter() - t_start
                 self.mapper.video = live
                 self._q.task_done()

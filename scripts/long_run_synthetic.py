@@ -20,6 +20,8 @@ import re
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -206,6 +208,26 @@ def main():
         # transport hides memory_stats
         "live_bytes_high_water": max(live_hw[0], live_bytes() or 0) or None,
     }
+    if with_mapping and slam.async_mapper is not None:
+        st = slam.async_mapper.stats
+        lags = st["lag_s"]
+        iters = int(cfg["mapping"].get("iters", 0))
+        report["mapper_overlap"] = {
+            "mapped_keyframes": st["mapped"],
+            "mapper_busy_s": round(st["busy_s"], 1),
+            # optimization steps/s while the worker was busy (iters per
+            # mapped KF from config; final_refine excluded — it runs after
+            # tracking ends)
+            "mapper_steps_per_s": round(
+                st["mapped"] * iters / max(st["busy_s"], 1e-9), 2),
+            # how far mapping trails tracking: snapshot-to-start delay
+            "snapshot_lag_s_mean": round(
+                float(np.mean(lags)), 3) if lags else None,
+            "snapshot_lag_s_max": round(
+                float(np.max(lags)), 3) if lags else None,
+            # tracker wall time lost waiting on a full mapper queue
+            "tracker_blocked_s": round(st["block_s"], 2),
+        }
     with open(f"{slam.output}/logs/long_run.json", "w") as f:
         json.dump(report, f, indent=2)
     print("[long-run]", json.dumps(
